@@ -1,0 +1,148 @@
+"""Configuration dataclasses (static hyperparameters, hashable for jit).
+
+The reference's CLI flags and defaults (``/root/reference/main.cpp:30-41``:
+sigma=1.6, k=sqrt(2), octaves=4, dogsPerEpoch=3, subpixel=0) are preserved in
+``SiftConfig`` so the parity path reproduces its configuration space; the
+remaining configs cover the subsystems the reference does not have.
+
+All configs are frozen dataclasses: they are *static* arguments to jitted
+functions (shapes and loop bounds derive from them), never traced values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SiftConfig:
+    """SIFT frontend configuration.
+
+    Field names mirror the reference CLI (``main.cpp:30-41``) where a
+    counterpart exists.
+    """
+
+    sigma: float = 1.6            # base blur (ref --sigma)
+    k: float = math.sqrt(2.0)     # scale step (ref --k)
+    octaves: int = 4              # number of octaves (ref --octaves)
+    dogs_per_epoch: int = 3       # DoGs per octave (ref --dogsPerEpoch)
+    subpixel: bool = False        # 2x upsample input first (ref --subpixel)
+
+    # Mode: "lowe" = correct Lowe-2004 pipeline; "parity" = replicate the
+    # reference's behaviour including quirks (SURVEY.md §2 is the spec).
+    mode: str = "lowe"
+
+    # Static-shape budget: max keypoints retained per octave after extrema
+    # detection, and max total keypoints after orientation assignment
+    # (orientation peaks can spawn duplicates). Downstream buffers are sized
+    # by these; excess detections are dropped lowest-score-first.
+    max_keypoints_per_octave: int = 512
+    max_keypoints: int = 1024
+
+    # Lowe-mode thresholds (the parity thresholds are hard-coded quirk values
+    # in frontend/parity.py: 127.5 offset bound, 7.65 contrast, r=10 edge).
+    contrast_threshold: float = 0.03   # on [0,1]-normalized DoG values
+    edge_r: float = 10.0
+    ori_peak_rel: float = 0.8
+    descriptor_max_component: float = 0.2
+
+    # Image value range. The reference operates on [0,255] grayscale floats
+    # (vigra::importImage, main.cpp:52-54); parity mode requires this.
+    image_max: float = 255.0
+
+    def __post_init__(self):
+        assert self.octaves > 0, "octaves must be positive (ref sift.cpp:382)"
+        assert self.dogs_per_epoch >= 3, "dogsPerEpoch >= 3 (ref sift.cpp:383)"
+        assert self.mode in ("lowe", "parity")
+
+    @property
+    def gaussians_per_octave(self) -> int:
+        return self.dogs_per_epoch + 1
+
+    def replace(self, **kw) -> "SiftConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    """Brute-force descriptor matching (MXU tiled distance + ratio test)."""
+
+    ratio: float = 0.8            # Lowe ratio test threshold
+    mutual: bool = True           # require mutual nearest neighbours
+    max_matches: int = 1024       # static output size (masked)
+    metric: str = "l2"            # "l2" | "dot"
+
+    def replace(self, **kw) -> "MatchConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class RansacConfig:
+    """Batched-hypothesis RANSAC (no data-dependent loop: fixed batch+argmax)."""
+
+    num_hypotheses: int = 512
+    inlier_threshold: float = 2.0   # pixels (model-dependent interpretation)
+    min_inliers: int = 15
+    refit: bool = True              # weighted least-squares refit on inliers
+
+    def replace(self, **kw) -> "RansacConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class BAConfig:
+    """Schur-complement bundle adjustment."""
+
+    max_iterations: int = 20
+    cg_iterations: int = 50
+    cg_tol: float = 1e-6
+    damping_init: float = 1e-3
+    damping_min: float = 1e-9
+    damping_max: float = 1e6
+    huber_delta: float = 3.0        # pixels; robust loss on reprojection
+    jacobi_precond: bool = True
+
+    def replace(self, **kw) -> "BAConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for distributed operation.
+
+    axes: (data, model). `data` shards independent work items (images,
+    observations, pose-graph edges); `model` shards within-problem state
+    (landmark blocks, reduced camera system columns).
+    """
+
+    data: int = 1
+    model: int = 1
+    axis_names: Tuple[str, str] = ("data", "model")
+
+    @property
+    def num_devices(self) -> int:
+        return self.data * self.model
+
+    def replace(self, **kw) -> "MeshConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level SLAM/SfM pipeline configuration."""
+
+    sift: SiftConfig = SiftConfig()
+    match: MatchConfig = MatchConfig()
+    ransac: RansacConfig = RansacConfig()
+    ba: BAConfig = BAConfig()
+    mesh: MeshConfig = MeshConfig()
+
+    window_size: int = 8            # sliding BA window (keyframes)
+    max_landmarks: int = 8192       # static map capacity
+    max_observations: int = 65536   # static observation capacity
+    keyframe_min_inliers: int = 30
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)

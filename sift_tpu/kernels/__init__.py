@@ -1,0 +1,29 @@
+"""Stateless image/math kernels (TPU-native equivalents of the reference's
+`sift::alg` free functions, /root/reference/algorithms.cpp).
+
+All kernels are pure, batched over arbitrary leading dims where meaningful,
+and traceable under `jax.jit` / `jax.vmap`. Hot kernels additionally have
+Pallas implementations under `sift_tpu.kernels.pallas` selected at runtime on
+TPU backends; the jnp/XLA versions are the reference semantics and run
+everywhere.
+"""
+
+from sift_tpu.kernels.gaussian import gaussian_kernel_1d, gaussian_blur
+from sift_tpu.kernels.resize import resize_nearest, downsample_half, upsample_double
+from sift_tpu.kernels.dog import dog
+from sift_tpu.kernels.gradients import gradient_magnitude_orientation
+from sift_tpu.kernels.histogram import weighted_histogram, parabola_vertex
+from sift_tpu.kernels.derivatives import scale_space_gradient_hessian
+
+__all__ = [
+    "gaussian_kernel_1d",
+    "gaussian_blur",
+    "resize_nearest",
+    "downsample_half",
+    "upsample_double",
+    "dog",
+    "gradient_magnitude_orientation",
+    "weighted_histogram",
+    "parabola_vertex",
+    "scale_space_gradient_hessian",
+]
