@@ -1,0 +1,133 @@
+"""SIFT extraction entry points.
+
+`extract(img, cfg)` — single (H, W) image -> fixed-capacity `Keypoints`.
+`extract_batch(imgs, cfg)` — (B, H, W) via vmap (lowe mode).
+
+The lowe pipeline (production path) processes octave by octave — detection,
+iterative refinement, orientation histograms, peak duplication, descriptors —
+then compacts all octaves' candidates into the global `cfg.max_keypoints`
+buffer by detection score. Every stage is a fixed-shape tensor program: the
+whole extractor jits to a single XLA computation per (H, W).
+
+Pipeline stage order mirrors the reference spine (`Sift::calculate`,
+sift.cpp:19-57); the implementation shares no structure with its per-pixel
+C++ loops.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sift_tpu.config import SiftConfig
+from sift_tpu.types import Keypoints
+from sift_tpu.frontend.pyramid import build_pyramid
+from sift_tpu.frontend.extrema import detect_extrema_octave
+from sift_tpu.frontend.refine import refine_octave_lowe
+from sift_tpu.frontend.orientation import (
+    orientation_histograms_lowe,
+    peaks_from_histogram,
+)
+from sift_tpu.frontend.descriptor import descriptors_lowe
+from sift_tpu.frontend.parity import extract_parity
+
+MAX_ORI_PEAKS = 2
+
+
+def _gradient_xy(g: jnp.ndarray):
+    """Central-difference gradient maps of a (..., H, W) stack (interior; border 0)."""
+    dx = jnp.zeros_like(g)
+    dy = jnp.zeros_like(g)
+    dx = dx.at[..., 1:-1].set((g[..., 2:] - g[..., :-2]) * 0.5)
+    dy = dy.at[..., 1:-1, :].set((g[..., 2:, :] - g[..., :-2, :]) * 0.5)
+    return dx, dy
+
+
+def extract_lowe(img: jnp.ndarray, cfg: SiftConfig,
+                 with_descriptors: bool = True) -> Keypoints:
+    pyr = build_pyramid(img, cfg)
+    octave_factor = cfg.k ** (cfg.dogs_per_epoch - 1)
+
+    fields = ["x", "y", "octave", "level", "scale", "score", "orientation",
+              "valid"]
+    buffers = {f: [] for f in fields}
+    descs = []
+
+    for o in range(pyr.num_octaves):
+        x, y, lvl, score, valid = detect_extrema_octave(pyr.dogs[o], cfg)
+        cand = dict(x=x, y=y, level=lvl, score=score, valid=valid)
+        cand = refine_octave_lowe(pyr.dogs[o], cand, cfg, pyr.dog_sigmas,
+                                  o, octave_factor)
+
+        g = pyr.gauss[o]
+        dxm, dym = _gradient_xy(g)
+        mag = jnp.sqrt(dxm * dxm + dym * dym)
+        ori = jnp.mod(jnp.degrees(jnp.arctan2(dym, dxm)) + 360.0, 360.0)
+
+        hist, gl, in_bounds = orientation_histograms_lowe(
+            cand, mag, ori, pyr.gauss_sigmas[o], octave_factor, o, cfg)
+        peak_oris, peak_valid = peaks_from_histogram(hist, MAX_ORI_PEAKS,
+                                                     cfg.ori_peak_rel)
+
+        # duplicate keypoints per orientation peak: (K,) -> (K*P,)
+        K = cand["x"].shape[0]
+        P = MAX_ORI_PEAKS
+
+        def rep(a):
+            return jnp.repeat(a, P, axis=0)
+
+        sigma_within = cand["scale"] / jnp.float32(octave_factor ** o)
+        dup = dict(
+            x=rep(cand["x"]), y=rep(cand["y"]),
+            octave=jnp.full((K * P,), o, jnp.int32),
+            level=rep(cand["level"]), scale=rep(cand["scale"]),
+            score=rep(cand["score"]),
+            orientation=peak_oris.reshape(-1),
+            valid=rep(cand["valid"] & in_bounds) & peak_valid.reshape(-1),
+        )
+        if with_descriptors:
+            d = descriptors_lowe(dup, dxm, dym, rep(gl), rep(sigma_within), cfg)
+            descs.append(d)
+        for f in fields:
+            buffers[f].append(dup[f])
+
+    kp = {f: jnp.concatenate(buffers[f]) for f in fields}
+    desc = jnp.concatenate(descs) if with_descriptors else None
+
+    # global compaction: top max_keypoints by score among valid
+    N = cfg.max_keypoints
+    rank_score = jnp.where(kp["valid"], kp["score"], -jnp.inf)
+    top_scores, idx = lax.top_k(rank_score, min(N, rank_score.shape[0]))
+    take = lambda a: a[idx]
+    out = Keypoints(
+        x=take(kp["x"]), y=take(kp["y"]), octave=take(kp["octave"]),
+        level=take(kp["level"]), scale=take(kp["scale"]),
+        score=take(kp["score"]), orientation=take(kp["orientation"]),
+        valid=take(kp["valid"]) & jnp.isfinite(top_scores),
+        desc=take(desc) if desc is not None else None,
+    )
+    return out
+
+
+def extract(img: jnp.ndarray, cfg: SiftConfig,
+            with_descriptors: bool = True) -> Keypoints:
+    """Extract SIFT keypoints from one (H, W) float32 image in [0, image_max]."""
+    if cfg.mode == "parity":
+        return extract_parity(img, cfg)
+    return extract_lowe(img, cfg, with_descriptors=with_descriptors)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def extract_jit(img: jnp.ndarray, cfg: SiftConfig,
+                with_descriptors: bool = True) -> Keypoints:
+    return extract(img, cfg, with_descriptors)
+
+
+def extract_batch(imgs: jnp.ndarray, cfg: SiftConfig,
+                  with_descriptors: bool = True) -> Keypoints:
+    """Batched extraction over (B, H, W); all Keypoints fields gain a leading B."""
+    return jax.vmap(lambda im: extract(im, cfg, with_descriptors))(imgs)
