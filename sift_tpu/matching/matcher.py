@@ -1,0 +1,126 @@
+"""Brute-force descriptor matching on the MXU.
+
+The reference has no matching at all (SURVEY.md §2.2); this implements the
+standard SIFT pipeline step the north star requires: all-pairs L2 distance as
+a single (N, 128) x (128, N) matmul — exactly the shape the MXU systolic array
+wants — followed by masked top-2 selection for Lowe's ratio test and an
+optional mutual-nearest-neighbour check.
+
+Everything is fixed-shape: inputs are capacity-N descriptor buffers with
+validity masks, the output is a capacity-M `Matches` buffer with a validity
+mask. Invalid rows/columns are excluded by +inf distances, not by gathering —
+no dynamic shapes anywhere, so the whole matcher jits into one fused XLA
+computation and vmaps over image pairs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sift_tpu.config import MatchConfig
+from sift_tpu.types import Keypoints, Matches
+
+_BIG = jnp.float32(1e30)
+
+
+def pairwise_sqdist(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
+                    precision=lax.Precision.DEFAULT) -> jnp.ndarray:
+    """Squared L2 distances (Na, Nb) = |a|^2 + |b|^2 - 2 a.b^T.
+
+    The cross term is one MXU matmul; the norms are fused VPU reductions.
+    `precision` selects the MXU pass count (DEFAULT = fast bf16x3-ish path,
+    HIGHEST = full f32) — descriptor matching tolerates DEFAULT easily.
+    """
+    a2 = jnp.sum(desc_a * desc_a, axis=-1, keepdims=True)        # (Na, 1)
+    b2 = jnp.sum(desc_b * desc_b, axis=-1, keepdims=True).T      # (1, Nb)
+    ab = jnp.dot(desc_a, desc_b.T, precision=precision,
+                 preferred_element_type=jnp.float32)             # (Na, Nb) MXU
+    return jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
+
+
+def _top2_min(d: jnp.ndarray):
+    """Per-row (best, second) minimum distances and best index.
+
+    Two masked min passes — cheaper than a full sort/top_k on TPU for k=2.
+    """
+    best = jnp.min(d, axis=-1)
+    best_idx = jnp.argmin(d, axis=-1)
+    nb = d.shape[-1]
+    one_hot = jax.nn.one_hot(best_idx, nb, dtype=d.dtype)
+    second = jnp.min(d + one_hot * _BIG, axis=-1)
+    return best, second, best_idx
+
+
+def match_descriptors(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
+                      desc_b: jnp.ndarray, valid_b: jnp.ndarray,
+                      cfg: MatchConfig) -> Matches:
+    """Ratio-test (and optionally mutual) matches between two descriptor sets.
+
+    Args:
+      desc_a: (Na, D) float descriptors; valid_a: (Na,) bool.
+      desc_b: (Nb, D); valid_b: (Nb,) bool.
+      cfg:    MatchConfig (static).
+
+    Returns a capacity-`cfg.max_matches` `Matches` sorted by ascending
+    distance; invalid slots padded with index 0 / distance +inf.
+    """
+    d = pairwise_sqdist(desc_a, desc_b)
+    # Mask invalid rows and columns out of every reduction.
+    d = jnp.where(valid_b[None, :], d, _BIG)
+    d = jnp.where(valid_a[:, None], d, _BIG)
+
+    best, second, best_idx = _top2_min(d)
+
+    # Lowe ratio on L2 distances: d1 < r * d2  <=>  d1^2 < r^2 * d2^2.
+    ok = best < (cfg.ratio * cfg.ratio) * second
+    ok &= valid_a & (best < _BIG)
+
+    if cfg.mutual:
+        # b's nearest a must be this a (computed from the same matrix).
+        best_back = jnp.argmin(d, axis=0)                  # (Nb,)
+        ok &= best_back[best_idx] == jnp.arange(d.shape[0])
+
+    # Compact to fixed capacity: smallest distances first.
+    m = cfg.max_matches
+    score = jnp.where(ok, -best, -_BIG)
+    k = min(m, score.shape[0])
+    top_scores, idx_a = lax.top_k(score, k)
+    valid = top_scores > -_BIG
+    if k < m:
+        pad = m - k
+        idx_a = jnp.pad(idx_a, (0, pad))
+        top_scores = jnp.pad(top_scores, (0, pad), constant_values=-_BIG)
+        valid = jnp.pad(valid, (0, pad))
+    return Matches(
+        idx_a=idx_a.astype(jnp.int32),
+        idx_b=best_idx[idx_a].astype(jnp.int32),
+        distance=jnp.where(valid, -top_scores, _BIG),
+        valid=valid,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def match_descriptors_jit(desc_a, valid_a, desc_b, valid_b,
+                          cfg: MatchConfig) -> Matches:
+    return match_descriptors(desc_a, valid_a, desc_b, valid_b, cfg)
+
+
+def match_keypoints(kp_a: Keypoints, kp_b: Keypoints,
+                    cfg: MatchConfig) -> Matches:
+    """Convenience wrapper over two `Keypoints` (requires descriptors)."""
+    assert kp_a.desc is not None and kp_b.desc is not None
+    return match_descriptors(kp_a.desc, kp_a.valid, kp_b.desc, kp_b.valid, cfg)
+
+
+def matched_coords(kp_a: Keypoints, kp_b: Keypoints, matches: Matches,
+                   subpixel: bool = False):
+    """Gather matched original-image (x, y) pairs: returns (M,2), (M,2), (M,)."""
+    ax, ay = kp_a.to_image_xy(subpixel)
+    bx, by = kp_b.to_image_xy(subpixel)
+    pa = jnp.stack([ax[matches.idx_a], ay[matches.idx_a]], axis=-1)
+    pb = jnp.stack([bx[matches.idx_b], by[matches.idx_b]], axis=-1)
+    return pa, pb, matches.valid

@@ -1,0 +1,85 @@
+"""Matcher unit tests (numpy oracle for distances; synthetic correspondences)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sift_tpu.config import MatchConfig
+from sift_tpu.matching.matcher import (
+    pairwise_sqdist,
+    match_descriptors,
+)
+
+
+def _rand_desc(rng, n, d=128):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def test_pairwise_sqdist_matches_numpy():
+    rng = np.random.default_rng(0)
+    a = _rand_desc(rng, 37)
+    b = _rand_desc(rng, 53)
+    got = np.asarray(pairwise_sqdist(jnp.asarray(a), jnp.asarray(b)))
+    want = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_planted_matches_recovered():
+    """A is a permuted copy of B (plus tiny noise): every valid row matches."""
+    rng = np.random.default_rng(1)
+    n = 64
+    b = _rand_desc(rng, n)
+    perm = rng.permutation(n)
+    a = b[perm] + 1e-4 * rng.standard_normal((n, 128)).astype(np.float32)
+
+    cfg = MatchConfig(ratio=0.8, mutual=True, max_matches=128)
+    m = match_descriptors(jnp.asarray(a), jnp.ones(n, bool),
+                          jnp.asarray(b), jnp.ones(n, bool), cfg)
+    valid = np.asarray(m.valid)
+    ia, ib = np.asarray(m.idx_a)[valid], np.asarray(m.idx_b)[valid]
+    assert valid.sum() == n
+    assert (perm[ia] == ib).all()
+
+
+def test_ratio_test_rejects_ambiguous():
+    """Two identical rows in B make the best/second ratio 1 -> rejected."""
+    rng = np.random.default_rng(2)
+    b = _rand_desc(rng, 8)
+    b[1] = b[0]                      # descriptor 0 is ambiguous
+    a = b[:1].copy()
+
+    cfg = MatchConfig(ratio=0.8, mutual=False, max_matches=8)
+    m = match_descriptors(jnp.asarray(a), jnp.ones(1, bool),
+                          jnp.asarray(b), jnp.ones(8, bool), cfg)
+    assert int(np.asarray(m.valid).sum()) == 0
+
+
+def test_invalid_masks_respected():
+    rng = np.random.default_rng(3)
+    b = _rand_desc(rng, 16)
+    a = b.copy()
+    valid_a = np.zeros(16, bool)
+    valid_a[:4] = True
+    valid_b = np.ones(16, bool)
+    valid_b[0] = False               # a[0]'s true partner masked out
+
+    cfg = MatchConfig(ratio=0.9, mutual=True, max_matches=16)
+    m = match_descriptors(jnp.asarray(a), jnp.asarray(valid_a),
+                          jnp.asarray(b), jnp.asarray(valid_b), cfg)
+    valid = np.asarray(m.valid)
+    ia = np.asarray(m.idx_a)[valid]
+    assert set(ia).issubset({1, 2, 3})          # a[0] lost its partner
+    assert not np.isin(0, np.asarray(m.idx_b)[valid])
+
+
+def test_output_sorted_and_fixed_capacity():
+    rng = np.random.default_rng(4)
+    b = _rand_desc(rng, 32)
+    a = b + 1e-4 * rng.standard_normal((32, 128)).astype(np.float32)
+    cfg = MatchConfig(ratio=0.8, mutual=True, max_matches=8)
+    m = match_descriptors(jnp.asarray(a), jnp.ones(32, bool),
+                          jnp.asarray(b), jnp.ones(32, bool), cfg)
+    assert m.idx_a.shape == (8,)
+    d = np.asarray(m.distance)[np.asarray(m.valid)]
+    assert (np.diff(d) >= -1e-7).all()           # ascending distance
