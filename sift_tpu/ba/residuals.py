@@ -20,6 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from sift_tpu.geometry import lie
 from sift_tpu.geometry.camera import project
 
 _EPS = 1e-12
@@ -38,16 +39,27 @@ def reprojection_residuals(poses, intrinsics, landmarks,
     return jax.vmap(one)(obs_cam, obs_lm, obs_uv)
 
 
-def huber_weights(r: jnp.ndarray, delta: float,
-                  obs_valid: jnp.ndarray,
-                  depths: jnp.ndarray | None = None) -> jnp.ndarray:
-    """IRLS weights (O,): 1 inside the Huber region, delta/|r| outside.
+def robust_weights(r: jnp.ndarray, delta: float,
+                   obs_valid: jnp.ndarray,
+                   depths: jnp.ndarray | None = None,
+                   loss: str = "huber") -> jnp.ndarray:
+    """IRLS weights (O,) for the chosen robust loss.
+
+    huber:  1 inside the delta region, delta/|r| outside (bounded influence).
+    cauchy: 1 / (1 + (|r|/delta)^2) — influence decays to zero, which is what
+            actually suppresses gross outliers (Huber's constant influence
+            leaves a bias proportional to the outlier fraction).
 
     Observations that are invalid (masked) or behind the camera get weight 0
     — masking by weight keeps every shape static.
     """
-    norm = jnp.sqrt(jnp.maximum(jnp.sum(r * r, axis=-1), _EPS))
-    w = jnp.minimum(1.0, delta / norm)
+    n2 = jnp.maximum(jnp.sum(r * r, axis=-1), _EPS)
+    if loss == "cauchy":
+        w = 1.0 / (1.0 + n2 / (delta * delta))
+    elif loss == "huber":
+        w = jnp.minimum(1.0, delta / jnp.sqrt(n2))
+    else:  # "none"
+        w = jnp.ones_like(n2)
     w = jnp.where(obs_valid, w, 0.0)
     if depths is not None:
         w = jnp.where(depths > 1e-6, w, 0.0)
@@ -55,7 +67,7 @@ def huber_weights(r: jnp.ndarray, delta: float,
 
 
 def linearize(poses, intrinsics, landmarks, obs_cam, obs_lm, obs_uv,
-              obs_valid, huber_delta: float):
+              obs_valid, huber_delta: float, loss: str = "huber"):
     """Weighted residuals and Jacobian blocks at the current estimate.
 
     Returns:
@@ -65,31 +77,54 @@ def linearize(poses, intrinsics, landmarks, obs_cam, obs_lm, obs_uv,
       w:  (O,) the IRLS weights used (for masking/diagnostics)
     """
     def one(c, l, uv):
-        def f(pose, landmark):
-            r, _ = _residual_one(pose, intrinsics, landmark, uv)
-            return r
         pose, landmark = poses[c], landmarks[l]
-        r, depth = _residual_one(pose, intrinsics, landmark, uv)
-        Jc, Jl = jax.jacfwd(f, argnums=(0, 1))(pose, landmark)
+        R0, t0 = lie.se3_exp(pose)
+
+        def f(delta, lm):
+            # Local right-perturbation of the pose: T = T0 exp(delta). The
+            # camera Jacobian is wrt delta at 0 (manifold linearization —
+            # no global-chart singularity; updates retract via lie.boxplus).
+            dR, dt = lie.se3_exp(delta)
+            R, t = lie.se3_compose(R0, t0, dR, dt)
+            Rt, tt = lie.se3_inverse(R, t)
+            x_c = lie.transform(Rt, tt, lm)
+            z = x_c[2]
+            inv_z = 1.0 / jnp.where(jnp.abs(z) < _EPS, _EPS, z)
+            fx, fy, cx, cy = (intrinsics[0], intrinsics[1],
+                              intrinsics[2], intrinsics[3])
+            pred = jnp.stack([fx * x_c[0] * inv_z + cx,
+                              fy * x_c[1] * inv_z + cy])
+            return pred - uv, z
+
+        zero = jnp.zeros((6,), poses.dtype)
+        (r, depth) = f(zero, landmark)
+        Jc, Jl = jax.jacfwd(lambda d, lm: f(d, lm)[0],
+                            argnums=(0, 1))(zero, landmark)
         return r, Jc, Jl, depth
 
     r, Jc, Jl, depths = jax.vmap(one)(obs_cam, obs_lm, obs_uv)
-    w = huber_weights(r, huber_delta, obs_valid, depths)
+    w = robust_weights(r, huber_delta, obs_valid, depths, loss)
     sw = jnp.sqrt(w)[:, None]
     return r * sw, Jc * sw[..., None], Jl * sw[..., None], w
 
 
 def cost(poses, intrinsics, landmarks, obs_cam, obs_lm, obs_uv, obs_valid,
-         huber_delta: float):
+         huber_delta: float, loss: str = "huber"):
     """Robust total cost and RMSE over valid, in-front observations."""
     r, depths = reprojection_residuals(poses, intrinsics, landmarks,
                                        obs_cam, obs_lm, obs_uv)
     valid = obs_valid & (depths > 1e-6)
     n2 = jnp.sum(r * r, axis=-1)
     norm = jnp.sqrt(jnp.maximum(n2, _EPS))
-    # Huber rho: 0.5 r^2 inside, delta (|r| - 0.5 delta) outside.
-    rho = jnp.where(norm <= huber_delta, 0.5 * n2,
-                    huber_delta * (norm - 0.5 * huber_delta))
+    d2 = huber_delta * huber_delta
+    if loss == "cauchy":
+        rho = 0.5 * d2 * jnp.log1p(n2 / d2)
+    elif loss == "huber":
+        # Huber rho: 0.5 r^2 inside, delta (|r| - 0.5 delta) outside.
+        rho = jnp.where(norm <= huber_delta, 0.5 * n2,
+                        huber_delta * (norm - 0.5 * huber_delta))
+    else:
+        rho = 0.5 * n2
     total = jnp.sum(jnp.where(valid, rho, 0.0))
     cnt = jnp.maximum(jnp.sum(valid), 1)
     rmse = jnp.sqrt(jnp.sum(jnp.where(valid, n2, 0.0)) / cnt)

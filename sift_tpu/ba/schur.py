@@ -1,0 +1,191 @@
+"""Matrix-free Schur complement and preconditioned CG.
+
+The bundle-adjustment normal equations have the classic 2x2 block structure
+
+    [ U   W ] [dc]   [ -g_c ]
+    [ W^T V ] [dl] = [ -g_l ]
+
+with U block-diagonal over cameras (6x6), V block-diagonal over landmarks
+(3x3), and W the camera-landmark coupling. Landmarks are eliminated:
+
+    S dc = b,   S = U - W V^-1 W^T,   b = -(g_c - W V^-1 g_l)
+
+S is never materialized. Its matvec is two sweeps over the observation list
+(gather camera block -> scatter landmark block -> apply V^-1 -> gather
+landmark -> scatter camera) — each sweep a vmapped einsum plus a
+`segment_sum`. On a device mesh the observations are sharded and every
+`segment_sum` is followed by a `psum` over the mesh axis (`axis_name`),
+which is the entire distributed-BA communication pattern (SURVEY.md §5:
+ring-style reduction of J^T J blocks across hosts).
+
+All segment reductions use the *sorted-ready* `jax.ops.segment_sum`; indices
+of masked observations point at slot 0 with zero weights, so no special
+cases exist anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from flax import struct
+
+from sift_tpu.ba.residuals import linearize
+
+
+def _seg_sum(x: jnp.ndarray, idx: jnp.ndarray, num: int,
+             axis_name: Optional[str] = None) -> jnp.ndarray:
+    out = jax.ops.segment_sum(x, idx, num_segments=num)
+    if axis_name is not None:
+        out = lax.psum(out, axis_name)
+    return out
+
+
+@struct.dataclass
+class SchurSystem:
+    """Linearized, damped BA system (fixed shapes; O may be device-local)."""
+
+    r: jnp.ndarray        # (O, 2) sqrt-weighted residuals
+    Jc: jnp.ndarray       # (O, 2, 6)
+    Jl: jnp.ndarray       # (O, 2, 3)
+    obs_cam: jnp.ndarray  # (O,)
+    obs_lm: jnp.ndarray   # (O,)
+    U: jnp.ndarray        # (C, 6, 6) damped camera blocks (replicated)
+    V_inv: jnp.ndarray    # (L, 3, 3) inverted damped landmark blocks
+    g_cam: jnp.ndarray    # (C, 6) J_c^T r
+    g_lm: jnp.ndarray     # (L, 3) J_l^T r
+    axis_name: Optional[str] = struct.field(pytree_node=False, default=None)
+
+
+def _sharded_inv3(V: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Batched 3x3 inverse of (L, 3, 3) with rows split over a mesh axis.
+
+    The landmark-block stage is the BA analog of tensor parallelism
+    (SURVEY.md §5 "by-landmark layout"): each device inverts its L/m slice of
+    the (replicated) damped V and an `all_gather` over ICI reassembles the
+    full inverse. L must be a multiple of the axis size.
+    """
+    m = lax.axis_size(axis_name)
+    i = lax.axis_index(axis_name)
+    L = V.shape[0]
+    chunk = L // m
+    local = lax.dynamic_slice_in_dim(V, i * chunk, chunk)
+    return lax.all_gather(jnp.linalg.inv(local), axis_name, axis=0,
+                          tiled=True)
+
+
+def build_system(poses, intrinsics, landmarks, obs_cam, obs_lm, obs_uv,
+                 obs_valid, huber_delta: float, damping,
+                 fixed_cam_mask: jnp.ndarray,
+                 axis_name: Optional[str] = None,
+                 loss: str = "huber",
+                 landmark_axis: Optional[str] = None) -> SchurSystem:
+    """Linearize and assemble the damped block system.
+
+    `fixed_cam_mask` (C,) bool: gauge-fixed cameras get zeroed Jacobian
+    columns, so their blocks become pure damping and their updates vanish.
+    Under `shard_map` the observation arrays are the device-local shard and
+    `axis_name` names the mesh axis to `psum` block sums over.
+    """
+    C = poses.shape[0]
+    L = landmarks.shape[0]
+
+    r, Jc, Jl, w = linearize(poses, intrinsics, landmarks,
+                             obs_cam, obs_lm, obs_uv, obs_valid, huber_delta,
+                             loss)
+    free = 1.0 - fixed_cam_mask[obs_cam].astype(Jc.dtype)
+    Jc = Jc * free[:, None, None]
+
+    U = _seg_sum(jnp.einsum("oik,oil->okl", Jc, Jc), obs_cam, C, axis_name)
+    V = _seg_sum(jnp.einsum("oik,oil->okl", Jl, Jl), obs_lm, L, axis_name)
+    g_cam = _seg_sum(jnp.einsum("oik,oi->ok", Jc, r), obs_cam, C, axis_name)
+    g_lm = _seg_sum(jnp.einsum("oik,oi->ok", Jl, r), obs_lm, L, axis_name)
+
+    eye6 = jnp.eye(6, dtype=U.dtype)
+    eye3 = jnp.eye(3, dtype=V.dtype)
+    U = U + damping * eye6
+    V = V + damping * eye3
+    if landmark_axis is not None:
+        V_inv = _sharded_inv3(V, landmark_axis)
+    else:
+        V_inv = jnp.linalg.inv(V)
+
+    return SchurSystem(r=r, Jc=Jc, Jl=Jl, obs_cam=obs_cam, obs_lm=obs_lm,
+                       U=U, V_inv=V_inv, g_cam=g_cam, g_lm=g_lm,
+                       axis_name=axis_name)
+
+
+def _w_apply_t(sys: SchurSystem, x_cam: jnp.ndarray) -> jnp.ndarray:
+    """W^T x: (C, 6) camera vector -> (L, 3) landmark vector."""
+    xc = x_cam[sys.obs_cam]                                   # (O, 6)
+    t = jnp.einsum("oij,oj->oi", sys.Jc, xc)                  # (O, 2)
+    y = jnp.einsum("oij,oi->oj", sys.Jl, t)                   # (O, 3)
+    return _seg_sum(y, sys.obs_lm, sys.V_inv.shape[0], sys.axis_name)
+
+
+def _w_apply(sys: SchurSystem, z_lm: jnp.ndarray) -> jnp.ndarray:
+    """W z: (L, 3) landmark vector -> (C, 6) camera vector."""
+    zl = z_lm[sys.obs_lm]                                     # (O, 3)
+    t = jnp.einsum("oij,oj->oi", sys.Jl, zl)                  # (O, 2)
+    y = jnp.einsum("oij,oi->oj", sys.Jc, t)                   # (O, 6)
+    return _seg_sum(y, sys.obs_cam, sys.U.shape[0], sys.axis_name)
+
+
+def schur_matvec(sys: SchurSystem, x: jnp.ndarray) -> jnp.ndarray:
+    """S x = (U - W V^-1 W^T) x, matrix-free. x: (C, 6)."""
+    u = jnp.einsum("cij,cj->ci", sys.U, x)
+    z = _w_apply_t(sys, x)
+    z = jnp.einsum("lij,lj->li", sys.V_inv, z)
+    return u - _w_apply(sys, z)
+
+
+def schur_rhs(sys: SchurSystem) -> jnp.ndarray:
+    """b = -(g_c - W V^-1 g_l)."""
+    z = jnp.einsum("lij,lj->li", sys.V_inv, sys.g_lm)
+    return -(sys.g_cam - _w_apply(sys, z))
+
+
+def back_substitute(sys: SchurSystem, dc: jnp.ndarray) -> jnp.ndarray:
+    """dl = V^-1 (-g_l - W^T dc). dc: (C, 6) -> (L, 3)."""
+    wt_dc = _w_apply_t(sys, dc)
+    return jnp.einsum("lij,lj->li", sys.V_inv, -sys.g_lm - wt_dc)
+
+
+def pcg(sys: SchurSystem, b: jnp.ndarray, iters: int, tol: float):
+    """Block-Jacobi preconditioned CG on the reduced camera system.
+
+    Fixed iteration bound (`lax.while_loop` with tolerance early-exit on the
+    *scalar* residual only — shapes stay static). Preconditioner: inv(U_c),
+    a batched 6x6 inverse.
+    """
+    M_inv = jnp.linalg.inv(sys.U)
+    precond = lambda v: jnp.einsum("cij,cj->ci", M_inv, v)
+    dot = lambda a, bb: jnp.sum(a * bb)
+
+    x0 = jnp.zeros_like(b)
+    r0 = b                      # since x0 = 0
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = dot(r0, z0)
+    b_norm2 = jnp.maximum(dot(b, b), 1e-30)
+
+    def cond(carry):
+        _, r, _, _, k = carry
+        return (k < iters) & (dot(r, r) > tol * tol * b_norm2)
+
+    def body(carry):
+        x, r, p, rz, k = carry
+        Ap = schur_matvec(sys, p)
+        alpha = rz / jnp.maximum(dot(p, Ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = dot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return x, r, p, rz_new, k + 1
+
+    x, r, _, _, k = lax.while_loop(cond, body, (x0, r0, p0, rz0, 0))
+    return x, k

@@ -101,7 +101,8 @@ class BAConfig:
     damping_init: float = 1e-3
     damping_min: float = 1e-9
     damping_max: float = 1e6
-    huber_delta: float = 3.0        # pixels; robust loss on reprojection
+    huber_delta: float = 3.0        # pixels; robust loss scale
+    loss: str = "huber"             # "huber" | "cauchy" | "none"
     jacobi_precond: bool = True
 
     def replace(self, **kw) -> "BAConfig":

@@ -1,0 +1,71 @@
+"""Distributed bundle adjustment over a (data, model) mesh.
+
+Layout (the SURVEY.md §5 sharding plan):
+  * observations shard over the `data` axis — residual/Jacobian computation
+    and every J^T J block accumulation run on local shards, combined by one
+    `psum` per segment reduction (ICI collective inside the compiled step);
+  * landmark-block inversion shards over the `model` axis (the BA analog of
+    tensor parallelism): each device inverts L/model_size damped 3x3 blocks,
+    reassembled with a tiled `all_gather`;
+  * poses, intrinsics, landmarks are replicated — they are the small state.
+
+The whole LM optimizer (`run_ba`) runs unchanged inside `shard_map`; the
+result is replicated and bitwise identical across devices because every
+cross-device reduction is a deterministic `psum`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from sift_tpu.config import BAConfig
+from sift_tpu.ba.solver import run_ba, BAState
+from sift_tpu.dist.mesh import pad_to_multiple
+
+
+def run_ba_sharded(mesh: Mesh,
+                   poses, intrinsics, landmarks,
+                   obs_cam, obs_lm, obs_uv, obs_valid,
+                   cfg: BAConfig, fixed_cam_mask,
+                   data_axis: str = "data",
+                   model_axis: Optional[str] = "model") -> BAState:
+    """Run distributed LM bundle adjustment on a mesh.
+
+    Host-side entry: pads the observation buffers to a multiple of the data
+    axis size and the landmark count to a multiple of the model axis size
+    is the caller's job (landmark capacity is static config; choose it
+    divisible by the mesh). Returns a replicated `BAState`.
+    """
+    n_data = mesh.shape[data_axis]
+    if model_axis is not None and mesh.shape.get(model_axis, 1) == 1:
+        model_axis = None
+    if model_axis is not None:
+        assert landmarks.shape[0] % mesh.shape[model_axis] == 0, (
+            f"landmark capacity {landmarks.shape[0]} must divide by "
+            f"model axis {mesh.shape[model_axis]}")
+
+    # Pad observations to a multiple of the data axis (masked slots).
+    obs_cam = pad_to_multiple(np.asarray(obs_cam), n_data)
+    obs_lm = pad_to_multiple(np.asarray(obs_lm), n_data)
+    obs_uv = pad_to_multiple(np.asarray(obs_uv), n_data)
+    obs_valid = pad_to_multiple(np.asarray(obs_valid), n_data)
+
+    obs_spec = P(data_axis)
+    rep = P()
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(rep, rep, rep, obs_spec, obs_spec, obs_spec, obs_spec, rep),
+        out_specs=rep, check_vma=False)
+    def step(p, k, l, oc, ol, ouv, ov, fm):
+        return run_ba(p, k, l, oc, ol, ouv, ov, cfg, fm,
+                      axis_name=data_axis, landmark_axis=model_axis)
+
+    return jax.jit(step)(poses, intrinsics, landmarks,
+                         obs_cam, obs_lm, obs_uv, obs_valid, fixed_cam_mask)

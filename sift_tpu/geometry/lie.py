@@ -58,18 +58,27 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
-    """(..., 3, 3) rotation -> (..., 3) axis-angle (theta in [0, pi])."""
+    """(..., 3, 3) rotation -> (..., 3) axis-angle (theta in [0, pi]).
+
+    Differentiable everywhere the log is (jacfwd-safe): theta comes from
+    atan2(|skew|, cos) — never arccos, whose derivative blows up at
+    theta = 0, the *common* case (zero-residual edges in pose graphs). Each
+    `jnp.where` branch is computed from guarded inputs so no branch's
+    primal or tangent is NaN at another branch's operating point.
+    """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     w_skew = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5   # = sin(theta) * axis
 
-    sin_t = jnp.sin(theta)
-    small = theta < 1e-4
-    # Generic: w = theta / (2 sin theta) * vee(R - R^T).
-    scale = jnp.where(small, 1.0 + theta * theta / 6.0,
-                      theta / jnp.where(small, 1.0, sin_t))
-    generic = scale[..., None] * w_skew
+    s2 = jnp.sum(w_skew * w_skew, axis=-1)            # sin(theta)^2
+    small = (s2 < 1e-10) & (cos_t > 0.0)
+    safe_s2 = jnp.where(small, 1.0, s2)
+    sin_t = jnp.sqrt(safe_s2)
+    theta = jnp.arctan2(sin_t, cos_t)
+    generic = (theta / sin_t)[..., None] * w_skew
+    # theta/sin(theta) ~ 1 + theta^2/6, theta^2 ~ s2 for small angles.
+    small_branch = (1.0 + s2 / 6.0)[..., None] * w_skew
+    generic = jnp.where(small[..., None], small_branch, generic)
 
     # Near theta = pi, sin(theta) -> 0: recover the axis from the symmetric
     # part. R = cos t I + sin t [n]x + (1 - cos t) nn^T, so
@@ -83,13 +92,16 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     diag = jnp.stack([nnT[..., 0, 0], nnT[..., 1, 1], nnT[..., 2, 2]], -1)
     k = jnp.argmax(diag, axis=-1)
     row = jnp.sum(nnT * jax.nn.one_hot(k, 3, dtype=R.dtype)[..., None], axis=-2)
-    axis = row / jnp.maximum(
-        jnp.linalg.norm(row, axis=-1, keepdims=True), _EPS)
+    axis = row / jnp.sqrt(jnp.maximum(
+        jnp.sum(row * row, axis=-1, keepdims=True), _EPS * _EPS))
     # Align the sign with the skew part (sin t > 0 for t < pi); at exactly
     # pi both signs are equivalent.
     dot = jnp.sum(axis * w_skew, axis=-1, keepdims=True)
     axis = axis * jnp.where(dot < 0, -1.0, 1.0)
-    pi_branch = theta[..., None] * axis
+    # Tangent-safe theta for this branch (s2 -> 0 at pi; the +tiny keeps the
+    # sqrt's derivative finite, and d s2 -> 0 there anyway).
+    theta_pi = jnp.arctan2(jnp.sqrt(s2 + 1e-20), cos_t)
+    pi_branch = theta_pi[..., None] * axis
 
     return jnp.where(near_pi[..., None], pi_branch, generic)
 
@@ -158,3 +170,16 @@ def se3_compose(Ra, ta, Rb, tb):
 def transform(R: jnp.ndarray, t: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Apply (R, t) to points x (..., 3)."""
     return (R @ x[..., None])[..., 0] + t
+
+
+def boxplus(xi: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+    """Right-perturbation retraction: log(exp(xi) o exp(delta)).
+
+    Optimizers linearize residuals wrt a *local* delta at 0 and retract with
+    this map — the global tangent chart's singularity at rotation angle pi
+    never enters the linearization (deltas are always small).
+    """
+    R1, t1 = se3_exp(xi)
+    R2, t2 = se3_exp(delta)
+    R, t = se3_compose(R1, t1, R2, t2)
+    return se3_log(R, t)
