@@ -145,5 +145,18 @@ class PipelineConfig:
     max_observations: int = 65536   # static observation capacity
     keyframe_min_inliers: int = 30
 
+    # Window-BA static capacities (compiled once; window obs/landmarks are
+    # padded up to these).
+    ba_max_landmarks: int = 2048
+    ba_max_observations: int = 8192
+
+    # Bootstrap / keyframe policy.
+    min_bootstrap_matches: int = 40
+    min_bootstrap_parallax: float = 8.0   # px, median flow before two-view init
+    kf_min_tracked: int = 60              # new keyframe when tracked lms drop below
+    kf_max_interval: int = 10             # ... or this many frames elapsed
+    min_triangulation_angle_deg: float = 0.5
+    max_reproj_error_px: float = 3.0
+
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

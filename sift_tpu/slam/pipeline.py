@@ -1,0 +1,424 @@
+"""Incremental monocular SfM pipeline (BASELINE.json configs #3/#4).
+
+Architecture: *host orchestrates, device computes*. Every numeric stage is a
+jit-compiled fixed-shape program — extraction, matching, RANSAC two-view
+bootstrap, pose-only tracking, triangulation, sliding-window Schur BA — and
+the host layer does only bookkeeping (keyframe policy, landmark ids,
+observation lists) in numpy. Dynamic sizes exist *between* stages, never
+inside one: each stage's inputs are padded to static capacities from
+`PipelineConfig`, so every stage compiles exactly once per config.
+
+Pipeline states:
+  bootstrap — accumulate frames against the first keyframe until parallax
+              and match count allow a two-view initialization (essential
+              RANSAC -> cheirality -> GN polish -> DLT triangulation; map
+              scale gauge: |t| = 1).
+  tracking  — per frame: match to the reference keyframe, localize with
+              robust pose-only GN on 2D-3D correspondences; on keyframe
+              promotion: add observations, triangulate new landmarks, run
+              sliding-window BA with the two oldest window cameras fixed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sift_tpu.config import PipelineConfig, SiftConfig
+from sift_tpu.types import Keypoints
+from sift_tpu.frontend.sift import extract
+from sift_tpu.matching.matcher import match_descriptors
+from sift_tpu.geometry import lie
+from sift_tpu.geometry.epipolar import estimate_relative_pose
+from sift_tpu.geometry.triangulation import triangulate_dlt
+from sift_tpu.ba.pose_only import pose_ransac_refine
+from sift_tpu.ba.solver import run_ba
+from sift_tpu.utils.metrics import MetricsLogger
+
+
+def _np_kp(kp: Keypoints) -> Dict[str, np.ndarray]:
+    d = dict(x=np.asarray(kp.x), y=np.asarray(kp.y),
+             valid=np.asarray(kp.valid), desc=np.asarray(kp.desc),
+             octave=np.asarray(kp.octave))
+    factor = np.exp2(d["octave"].astype(np.float64))
+    d["u"] = d["x"] * factor
+    d["v"] = d["y"] * factor
+    return d
+
+
+def _se3_exp_np(xi):
+    R, t = lie.se3_exp(jnp.asarray(xi, jnp.float32))
+    return np.asarray(R), np.asarray(t)
+
+
+def _se3_log_np(R, t):
+    return np.asarray(lie.se3_log(jnp.asarray(R, jnp.float32),
+                                  jnp.asarray(t, jnp.float32)))
+
+
+class Keyframe:
+    def __init__(self, frame_idx: int, pose: np.ndarray,
+                 kp: Dict[str, np.ndarray]):
+        self.frame_idx = frame_idx
+        self.pose = pose.astype(np.float32)       # (6,) world-from-camera
+        self.kp = kp                              # host keypoint arrays
+        n = kp["x"].shape[0]
+        self.kp_lm = np.full((n,), -1, np.int64)  # keypoint slot -> landmark
+
+
+class SfmPipeline:
+    """Incremental monocular SfM. Feed frames with `process_frame(gray)`."""
+
+    def __init__(self, intrinsics, cfg: Optional[PipelineConfig] = None,
+                 seed: int = 0, logger: Optional[MetricsLogger] = None,
+                 frontend=None):
+        """`frontend`: optional callable gray -> Keypoints replacing the SIFT
+        extractor (tests inject synthetic keypoints; a learned frontend could
+        drop in the same way)."""
+        self.cfg = cfg or PipelineConfig()
+        self.K = np.asarray(intrinsics, np.float32)    # fx, fy, cx, cy
+        self.logger = logger
+        self.frontend = frontend
+        self._key = jax.random.PRNGKey(seed)
+
+        self.keyframes: List[Keyframe] = []
+        self.landmarks = np.zeros((0, 3), np.float32)
+        self.trajectory: List[Dict] = []
+        self.state = "bootstrap"
+        self._frame_idx = -1
+        self._frames_since_kf = 0
+
+        self._build_jit_stages()
+
+    # ------------------------------------------------------------------ jit
+    def _build_jit_stages(self):
+        cfg = self.cfg
+        K = jnp.asarray(self.K)
+
+        if self.frontend is not None:
+            _extract = self.frontend
+        else:
+            @jax.jit
+            def _extract(gray):
+                return extract(gray, cfg.sift, with_descriptors=True)
+
+        @jax.jit
+        def _match(da, va, db, vb):
+            return match_descriptors(da, va, db, vb, cfg.match)
+
+        fx, fy, cx, cy = self.K
+        focal = float((fx + fy) * 0.5)
+
+        @jax.jit
+        def _bootstrap(key, pa, pb, valid):
+            # Normalized coordinates for the essential path.
+            na = jnp.stack([(pa[:, 0] - cx) / fx, (pa[:, 1] - cy) / fy], -1)
+            nb = jnp.stack([(pb[:, 0] - cx) / fx, (pb[:, 1] - cy) / fy], -1)
+            R, t, est = estimate_relative_pose(key, na, nb, valid,
+                                               cfg.ransac, focal=focal)
+            P1 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], 1)
+            P2 = jnp.concatenate([R, t[:, None]], 1)
+            X = triangulate_dlt(P1, P2, na, nb)       # world = camera A
+            za = X[:, 2]
+            zb = (X @ R.T + t)[:, 2]
+            good = est.inliers & (za > 1e-3) & (zb > 1e-3)
+            # Reprojection sanity in pixels (view A).
+            ra = (X[:, :2] / jnp.maximum(za[:, None], 1e-6) - na)
+            err_px = jnp.linalg.norm(ra, axis=-1) * focal
+            good &= err_px < cfg.max_reproj_error_px
+            return R, t, X, good, est.num_inliers, est.success
+
+        @jax.jit
+        def _localize(key, pose_init, lms, uv, valid):
+            return pose_ransac_refine(key, pose_init, K, lms, uv, valid,
+                                      delta=cfg.ransac.inlier_threshold)
+
+        @jax.jit
+        def _triangulate(pose_a, pose_b, pa, pb):
+            na = jnp.stack([(pa[:, 0] - cx) / fx, (pa[:, 1] - cy) / fy], -1)
+            nb = jnp.stack([(pb[:, 0] - cx) / fx, (pb[:, 1] - cy) / fy], -1)
+
+            def P_of(pose):
+                R, t = lie.se3_exp(pose)
+                Rt, tt = lie.se3_inverse(R, t)
+                return jnp.concatenate([Rt, tt[:, None]], 1)
+
+            Pa, Pb = P_of(pose_a), P_of(pose_b)
+            X = triangulate_dlt(Pa, Pb, na, nb)
+            za = (X @ Pa[:, :3].T + Pa[:, 3])[:, 2]
+            zb = (X @ Pb[:, :3].T + Pb[:, 3])[:, 2]
+            xa = X @ Pa[:, :3].T + Pa[:, 3]
+            ra = xa[:, :2] / jnp.maximum(za[:, None], 1e-6) - na
+            err_px = jnp.linalg.norm(ra, axis=-1) * focal
+            # Triangulation (parallax) angle between the two rays.
+            _, ta = lie.se3_exp(pose_a)
+            _, tb = lie.se3_exp(pose_b)
+            da = X - ta
+            db = X - tb
+            cosang = jnp.sum(da * db, -1) / jnp.maximum(
+                jnp.linalg.norm(da, axis=-1) * jnp.linalg.norm(db, axis=-1),
+                1e-9)
+            ang_ok = cosang < np.cos(np.radians(cfg.min_triangulation_angle_deg))
+            good = (za > 1e-3) & (zb > 1e-3) & ang_ok & \
+                (err_px < cfg.max_reproj_error_px)
+            return X, good
+
+        ba_cfg = cfg.ba
+
+        @functools.partial(jax.jit, static_argnums=())
+        def _window_ba(poses, lms, oc, ol, ouv, ov, fixed):
+            return run_ba(poses, K, lms, oc, ol, ouv, ov, ba_cfg, fixed)
+
+        self._jit_extract = _extract
+        self._jit_match = _match
+        self._jit_bootstrap = _bootstrap
+        self._jit_localize = _localize
+        self._jit_triangulate = _triangulate
+        self._jit_window_ba = _window_ba
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    # ----------------------------------------------------------------- api
+    def process_frame(self, gray: np.ndarray) -> Dict:
+        """Feed one grayscale frame ((H, W) float32 [0,255]); returns a dict
+        with `pose` (6,), `tracked` (bool), `is_keyframe` (bool)."""
+        self._frame_idx += 1
+        kp_dev = self._jit_extract(jnp.asarray(gray, jnp.float32))
+        kp = _np_kp(kp_dev)
+        if self.state == "bootstrap":
+            out = self._bootstrap_step(kp)
+        else:
+            out = self._tracking_step(kp)
+        out["frame_idx"] = self._frame_idx
+        self.trajectory.append(out)
+        if self.logger is not None:
+            self.logger.log("frame", **{k: v for k, v in out.items()
+                                        if not isinstance(v, np.ndarray)})
+        return out
+
+    def positions(self) -> np.ndarray:
+        """Trajectory camera centers (F, 3) for evaluation."""
+        out = []
+        for rec in self.trajectory:
+            _, t = _se3_exp_np(rec["pose"])
+            out.append(t)
+        return np.stack(out) if out else np.zeros((0, 3), np.float32)
+
+    # ----------------------------------------------------------- bootstrap
+    def _bootstrap_step(self, kp) -> Dict:
+        pose0 = np.zeros(6, np.float32)
+        if not self.keyframes:
+            self.keyframes.append(Keyframe(self._frame_idx, pose0, kp))
+            return dict(pose=pose0, tracked=True, is_keyframe=True,
+                        n_inliers=0, state=self.state)
+
+        kf0 = self.keyframes[0]
+        m = self._jit_match(jnp.asarray(kf0.kp["desc"]),
+                            jnp.asarray(kf0.kp["valid"]),
+                            jnp.asarray(kp["desc"]),
+                            jnp.asarray(kp["valid"]))
+        valid = np.asarray(m.valid)
+        ia, ib = np.asarray(m.idx_a), np.asarray(m.idx_b)
+        n_matches = int(valid.sum())
+        if n_matches < self.cfg.min_bootstrap_matches:
+            # Too little overlap: restart from this frame.
+            if self._frame_idx - kf0.frame_idx > self.cfg.kf_max_interval:
+                self.keyframes = [Keyframe(self._frame_idx, pose0, kp)]
+            return dict(pose=pose0, tracked=False, is_keyframe=False,
+                        n_inliers=n_matches, state=self.state)
+
+        pa = np.stack([kf0.kp["u"][ia], kf0.kp["v"][ia]], -1)
+        pb = np.stack([kp["u"][ib], kp["v"][ib]], -1)
+        flow = np.linalg.norm(pa - pb, axis=-1)
+        if np.median(flow[valid]) < self.cfg.min_bootstrap_parallax:
+            return dict(pose=pose0, tracked=True, is_keyframe=False,
+                        n_inliers=n_matches, state=self.state)
+
+        R, t, X, good, n_inl, success = self._jit_bootstrap(
+            self._next_key(), jnp.asarray(pa, jnp.float32),
+            jnp.asarray(pb, jnp.float32), jnp.asarray(valid))
+        if not bool(success):
+            return dict(pose=pose0, tracked=False, is_keyframe=False,
+                        n_inliers=int(n_inl), state=self.state)
+
+        R, t, X, good = np.asarray(R), np.asarray(t), np.asarray(X), \
+            np.asarray(good)
+        # World = first camera; second pose world-from-camera = (R^T, -R^T t).
+        pose1 = _se3_log_np(R.T, -R.T @ t)
+
+        # Create landmarks for good triangulations.
+        sel = np.nonzero(good)[0]
+        lm_ids = np.arange(sel.shape[0])
+        self.landmarks = X[sel].astype(np.float32)
+        kf1 = Keyframe(self._frame_idx, pose1, kp)
+        kf0.kp_lm[ia[sel]] = lm_ids
+        kf1.kp_lm[ib[sel]] = lm_ids
+        self.keyframes.append(kf1)
+
+        # Two-frame BA (gauge: both cameras fixed would freeze scale+pose;
+        # fix cam0 fully, keep cam1 free — scale gauge held by fixing it too
+        # for only-two-frames stability).
+        self._run_window_ba(fix_first_n=2)
+        self.state = "tracking"
+        self._frames_since_kf = 0
+        if self.logger is not None:
+            self.logger.log("bootstrap", n_landmarks=len(self.landmarks),
+                            n_inliers=int(n_inl))
+        return dict(pose=self.keyframes[-1].pose, tracked=True,
+                    is_keyframe=True, n_inliers=int(n_inl), state="tracking")
+
+    # ------------------------------------------------------------ tracking
+    def _tracking_step(self, kp) -> Dict:
+        kf = self.keyframes[-1]
+        m = self._jit_match(jnp.asarray(kf.kp["desc"]),
+                            jnp.asarray(kf.kp["valid"]),
+                            jnp.asarray(kp["desc"]),
+                            jnp.asarray(kp["valid"]))
+        valid = np.asarray(m.valid)
+        ia, ib = np.asarray(m.idx_a), np.asarray(m.idx_b)
+
+        # 2D-3D correspondences through the reference keyframe's landmarks.
+        lm_of_match = kf.kp_lm[ia]
+        has_lm = valid & (lm_of_match >= 0)
+        cap = self.cfg.match.max_matches
+        lms = np.zeros((cap, 3), np.float32)
+        uv = np.zeros((cap, 2), np.float32)
+        sel = np.nonzero(has_lm)[0]
+        lms[:sel.shape[0]] = self.landmarks[lm_of_match[sel]]
+        uv[:sel.shape[0], 0] = kp["u"][ib[sel]]
+        uv[:sel.shape[0], 1] = kp["v"][ib[sel]]
+        pvalid = np.zeros(cap, bool)
+        pvalid[:sel.shape[0]] = True
+
+        pose, inliers, rmse = self._jit_localize(
+            self._next_key(), jnp.asarray(kf.pose), jnp.asarray(lms),
+            jnp.asarray(uv), jnp.asarray(pvalid))
+        pose = np.asarray(pose)
+        inliers = np.asarray(inliers)
+        n_inl = int(inliers.sum())
+        tracked = n_inl >= self.cfg.keyframe_min_inliers // 2
+        self._frames_since_kf += 1
+
+        is_kf = tracked and (
+            n_inl < self.cfg.kf_min_tracked or
+            self._frames_since_kf >= self.cfg.kf_max_interval)
+        if is_kf:
+            self._promote_keyframe(kp, pose, m, inliers, sel, lm_of_match)
+            self._frames_since_kf = 0
+            pose = self.keyframes[-1].pose
+        return dict(pose=pose.astype(np.float32), tracked=tracked,
+                    is_keyframe=is_kf, n_inliers=n_inl, rmse=float(rmse),
+                    state=self.state)
+
+    def _promote_keyframe(self, kp, pose, m, inliers, sel, lm_of_match):
+        kf_prev = self.keyframes[-1]
+        valid = np.asarray(m.valid)
+        ia, ib = np.asarray(m.idx_a), np.asarray(m.idx_b)
+
+        new_kf = Keyframe(self._frame_idx, pose, kp)
+        # Carry over tracked landmark associations (inlier 2D-3D matches).
+        inl_sel = sel[inliers[:sel.shape[0]]]
+        new_kf.kp_lm[ib[inl_sel]] = lm_of_match[inl_sel]
+
+        # Triangulate new landmarks from unassociated 2D-2D matches.
+        no_lm = valid & (kf_prev.kp_lm[ia] < 0)
+        nsel = np.nonzero(no_lm)[0]
+        if nsel.shape[0] > 0:
+            pa = np.stack([kf_prev.kp["u"][ia[nsel]],
+                           kf_prev.kp["v"][ia[nsel]]], -1)
+            pb = np.stack([kp["u"][ib[nsel]], kp["v"][ib[nsel]]], -1)
+            X, good = self._jit_triangulate(
+                jnp.asarray(kf_prev.pose), jnp.asarray(pose),
+                jnp.asarray(pa, jnp.float32), jnp.asarray(pb, jnp.float32))
+            X, good = np.asarray(X), np.asarray(good)
+            gsel = np.nonzero(good)[0]
+            if gsel.shape[0] > 0:
+                base = self.landmarks.shape[0]
+                new_ids = base + np.arange(gsel.shape[0])
+                self.landmarks = np.concatenate(
+                    [self.landmarks, X[gsel].astype(np.float32)])
+                kf_prev.kp_lm[ia[nsel[gsel]]] = new_ids
+                new_kf.kp_lm[ib[nsel[gsel]]] = new_ids
+
+        self.keyframes.append(new_kf)
+        self._run_window_ba(fix_first_n=2)
+        if self.logger is not None:
+            self.logger.log("keyframe", frame=self._frame_idx,
+                            n_keyframes=len(self.keyframes),
+                            n_landmarks=len(self.landmarks))
+
+    # ------------------------------------------------------------------ ba
+    def _run_window_ba(self, fix_first_n: int = 2):
+        cfg = self.cfg
+        window = self.keyframes[-cfg.window_size:]
+        C = cfg.window_size
+
+        # Collect window observations (kf-local camera ids).
+        oc, ol, ouv = [], [], []
+        for ci, kf in enumerate(window):
+            slots = np.nonzero(kf.kp_lm >= 0)[0]
+            oc.append(np.full(slots.shape[0], ci, np.int32))
+            ol.append(kf.kp_lm[slots])
+            ouv.append(np.stack([kf.kp["u"][slots], kf.kp["v"][slots]], -1))
+        oc = np.concatenate(oc) if oc else np.zeros(0, np.int32)
+        ol = np.concatenate(ol) if ol else np.zeros(0, np.int64)
+        ouv = (np.concatenate(ouv) if ouv else
+               np.zeros((0, 2), np.float32)).astype(np.float32)
+
+        # Window-local landmark remap, capped to static capacity.
+        uniq, inv = np.unique(ol, return_inverse=True)
+        Lcap, Ocap = cfg.ba_max_landmarks, cfg.ba_max_observations
+        if uniq.shape[0] > Lcap:
+            # Keep the most-observed landmarks.
+            counts = np.bincount(inv)
+            keep = np.argsort(-counts)[:Lcap]
+            keep_mask = np.isin(inv, keep)
+            oc, ol, ouv, inv = (oc[keep_mask], ol[keep_mask], ouv[keep_mask],
+                                inv[keep_mask])
+            uniq, inv = np.unique(ol, return_inverse=True)
+        if oc.shape[0] > Ocap:
+            pick = np.random.default_rng(0).permutation(oc.shape[0])[:Ocap]
+            oc, ol, ouv, inv = oc[pick], ol[pick], ouv[pick], inv[pick]
+            uniq, inv = np.unique(ol, return_inverse=True)
+
+        L = uniq.shape[0]
+        O = oc.shape[0]
+        if L < 8 or O < 24:
+            return
+
+        lms = np.zeros((Lcap, 3), np.float32)
+        lms[:L] = self.landmarks[uniq]
+        obs_cam = np.zeros(Ocap, np.int32)
+        obs_lm = np.zeros(Ocap, np.int32)
+        obs_uv = np.zeros((Ocap, 2), np.float32)
+        obs_valid = np.zeros(Ocap, bool)
+        obs_cam[:O] = oc
+        obs_lm[:O] = inv
+        obs_uv[:O] = ouv
+        obs_valid[:O] = True
+
+        poses = np.zeros((C, 6), np.float32)
+        for ci, kf in enumerate(window):
+            poses[ci] = kf.pose
+        fixed = np.zeros(C, bool)
+        fixed[:min(fix_first_n, len(window))] = True
+        fixed[len(window):] = True          # unused slots pinned
+
+        st = self._jit_window_ba(jnp.asarray(poses), jnp.asarray(lms),
+                                 jnp.asarray(obs_cam), jnp.asarray(obs_lm),
+                                 jnp.asarray(obs_uv), jnp.asarray(obs_valid),
+                                 jnp.asarray(fixed))
+        new_poses = np.asarray(st.poses)
+        new_lms = np.asarray(st.landmarks)
+        for ci, kf in enumerate(window):
+            kf.pose = new_poses[ci]
+        self.landmarks[uniq] = new_lms[:L]
+        if self.logger is not None:
+            self.logger.log("window_ba", rmse=float(st.rmse),
+                            iters=int(st.iterations), n_obs=O, n_lms=L)
