@@ -26,6 +26,17 @@ import numpy as np
 from sift_tpu.io.image import load_image_gray
 
 
+def _load_gray(path: str):
+    """Decode via the native C++ library when built; PIL otherwise."""
+    from sift_tpu.io import native
+
+    if native.native_available():
+        arr = native.load_image_gray_native(path)
+        if arr is not None:
+            return arr
+    return load_image_gray(path)
+
+
 # TUM-RGBD FR1 default pinhole intrinsics (camera docs; rectified).
 TUM_FR1_INTRINSICS = (517.3, 516.5, 318.6, 255.3)
 TUM_FR2_INTRINSICS = (520.9, 521.0, 325.1, 249.7)
@@ -147,10 +158,10 @@ def load_tum_rgbd(seq_dir: str,
     frames = []
     for i in range(0, len(rgb), stride):
         ts, rel = rgb[i]
-        gray = load_image_gray(os.path.join(seq_dir, rel))
+        gray = _load_gray(os.path.join(seq_dir, rel))
         d = None
         if i in d_pairs:
-            d = load_image_gray(os.path.join(seq_dir, depth[d_pairs[i]][1]))
+            d = _load_gray(os.path.join(seq_dir, depth[d_pairs[i]][1]))
             d = d / TUM_DEPTH_SCALE
         gtp = gt[g_pairs[i]][1] if i in g_pairs else None
         frames.append(Frame(index=len(frames), timestamp=ts, gray=gray,
@@ -192,7 +203,7 @@ def load_kitti_odometry(root: str, sequence: str = "00",
 
     frames = []
     for i in range(0, len(files), stride):
-        gray = load_image_gray(os.path.join(img_dir, files[i]))
+        gray = _load_gray(os.path.join(img_dir, files[i]))
         gtp = gt_poses[i] if i < len(gt_poses) else None
         frames.append(Frame(index=len(frames), timestamp=float(i) * 0.1,
                             gray=gray, gt_pose=gtp))
