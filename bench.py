@@ -4,6 +4,13 @@ Measures batched lowe-mode SIFT extraction (full pipeline: pyramid, extrema,
 refinement, orientation, 128-D descriptors) on VGA-class frames — the
 keyframe-frontend workload of the SLAM engine.
 
+Timing methodology (important on remote/tunneled TPU backends, where
+`block_until_ready` returns before execution and a single host read carries
+~26 ms of RTT): repetitions are chained *on device* inside one jit'd
+`lax.scan` whose carry perturbs the input (defeats CSE) and whose body
+reduces every output field (defeats dead-code elimination); wall time between
+two repetition counts isolates pure per-iteration device time.
+
 Prints ONE JSON line:
   {"metric": "keyframes_per_s_per_chip", "value": N, "unit": "kf/s",
    "vs_baseline": M}
@@ -28,15 +35,14 @@ sys.path.insert(0, REPO)
 
 REFERENCE_IMG_PER_S = 1.0 / 15.0   # README.md:68-70, ~600x600 image
 BATCH = 8
-ITERS = 20
+REPS_LO, REPS_HI = 2, 12
 
 
 def make_frames(batch: int, h: int = 488, w: int = 600) -> np.ndarray:
     """A batch of VGA-class test frames in [0, 255].
 
-    Uses the reference's example parrot.jpg when available (realistic keypoint
-    density), perturbed per frame so XLA can't fold the batch; otherwise a
-    synthetic textured pattern.
+    Uses the reference's example parrot.jpg when available (realistic
+    keypoint density); otherwise a synthetic textured pattern.
     """
     base = None
     for cand in (os.path.join(REPO, "data", "parrot.jpg"),
@@ -59,31 +65,50 @@ def make_frames(batch: int, h: int = 488, w: int = 600) -> np.ndarray:
     return np.clip(base[None] + shifts, 0.0, 255.0).astype(np.float32)
 
 
+def make_chained(cfg, reps: int):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from sift_tpu.frontend.sift import extract_batch
+
+    @jax.jit
+    def run(imgs):
+        def body(c, _):
+            out = extract_batch(imgs + c, cfg, True)
+            # Touch every output field so no stage is dead code.
+            s = (jnp.sum(out.x) + jnp.sum(out.y) + jnp.sum(out.score) +
+                 jnp.sum(out.orientation) + jnp.sum(out.scale) +
+                 jnp.sum(out.desc) + jnp.sum(out.valid))
+            return s * 1e-24, None
+
+        c, _ = lax.scan(body, jnp.float32(0.0), None, length=reps)
+        return c
+
+    return run
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
-
     from sift_tpu.config import SiftConfig
-    from sift_tpu.frontend.sift import extract_batch
 
     cfg = SiftConfig(mode="lowe")
     frames = jnp.asarray(make_frames(BATCH))
 
-    fn = jax.jit(lambda imgs: extract_batch(imgs, cfg, True))
+    times = {}
+    for reps in (REPS_LO, REPS_HI):
+        fn = make_chained(cfg, reps)
+        float(fn(frames))                     # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn(frames))                 # host read forces execution
+            best = min(best, time.perf_counter() - t0)
+        times[reps] = best
 
-    # Warmup / compile.
-    out = fn(frames)
-    jax.block_until_ready(out)
-
-    times = []
-    for _ in range(ITERS):
-        t0 = time.perf_counter()
-        out = fn(frames)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-
-    best = min(times)
-    kf_per_s = BATCH / best
+    per_batch = (times[REPS_HI] - times[REPS_LO]) / (REPS_HI - REPS_LO)
+    per_batch = max(per_batch, 1e-9)
+    kf_per_s = BATCH / per_batch
     print(json.dumps({
         "metric": "keyframes_per_s_per_chip",
         "value": round(kf_per_s, 2),

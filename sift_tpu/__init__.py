@@ -20,8 +20,9 @@ from sift_tpu.config import (
     RansacConfig,
     BAConfig,
     MeshConfig,
+    PipelineConfig,
 )
-from sift_tpu.types import Keypoints
+from sift_tpu.types import Keypoints, Matches, TwoViewEstimate, MapState
 
 __version__ = "0.1.0"
 
@@ -31,6 +32,10 @@ __all__ = [
     "RansacConfig",
     "BAConfig",
     "MeshConfig",
+    "PipelineConfig",
     "Keypoints",
+    "Matches",
+    "TwoViewEstimate",
+    "MapState",
     "__version__",
 ]

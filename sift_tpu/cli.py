@@ -184,6 +184,83 @@ def cmd_match(args) -> int:
     return 0
 
 
+def cmd_twoview(args) -> int:
+    """Relative pose between two frames (essential RANSAC + GN polish)."""
+    import jax
+    import jax.numpy as jnp
+    from sift_tpu.io.image import load_image_gray
+    from sift_tpu.frontend.sift import extract_jit
+    from sift_tpu.matching.matcher import match_keypoints, matched_coords
+    from sift_tpu.geometry.epipolar import estimate_relative_pose
+    from sift_tpu.config import MatchConfig, RansacConfig
+
+    cfg = _sift_config(args)
+    kps = []
+    for f in (args.image_a, args.image_b):
+        kps.append(extract_jit(jnp.asarray(load_image_gray(f)), cfg, True))
+    m = match_keypoints(kps[0], kps[1], MatchConfig(ratio=args.ratio))
+    pa, pb, valid = matched_coords(kps[0], kps[1], m)
+
+    fx, fy, cx, cy = args.fx, args.fy, args.cx, args.cy
+    if fx is None:
+        # Crude default: focal = max image dim, principal point = center.
+        h, w = np.asarray(load_image_gray(args.image_a)).shape
+        fx = fy = float(max(h, w))
+        cx, cy = w / 2.0, h / 2.0
+    na = jnp.stack([(pa[:, 0] - cx) / fx, (pa[:, 1] - cy) / fy], -1)
+    nb = jnp.stack([(pb[:, 0] - cx) / fx, (pb[:, 1] - cy) / fy], -1)
+    R, t, est = estimate_relative_pose(
+        jax.random.PRNGKey(0), na, nb, valid,
+        RansacConfig(inlier_threshold=args.threshold), focal=fx)
+    print(f"matches: {int(np.asarray(m.valid).sum())}  "
+          f"inliers: {int(est.num_inliers)}  success: {bool(est.success)}")
+    print("R =\n", np.round(np.asarray(R), 5))
+    print("t =", np.round(np.asarray(t), 5), "(unit scale)")
+    return 0 if bool(est.success) else 1
+
+
+def cmd_sfm(args) -> int:
+    """Incremental SfM over an image sequence (directory or dataset)."""
+    from sift_tpu.config import PipelineConfig
+    from sift_tpu.slam.pipeline import SfmPipeline
+    from sift_tpu.io.datasets import load_tum_rgbd, load_kitti_odometry
+    from sift_tpu.eval.ate import ate_rmse
+    from sift_tpu.utils.metrics import MetricsLogger
+
+    if args.format == "tum":
+        seq = load_tum_rgbd(args.path, max_frames=args.max_frames,
+                            stride=args.stride)
+    elif args.format == "kitti":
+        seq = load_kitti_odometry(args.path, sequence=args.sequence,
+                                  max_frames=args.max_frames,
+                                  stride=args.stride)
+    else:
+        print(f"unknown format {args.format}", file=sys.stderr)
+        return 2
+
+    logger = MetricsLogger(args.metrics) if args.metrics else None
+    pipe = SfmPipeline(seq.intrinsics, PipelineConfig(), logger=logger)
+    t0 = time.perf_counter()
+    for frame in seq:
+        r = pipe.process_frame(frame.gray)
+        if args.verbose:
+            print(f"frame {r['frame_idx']}: tracked={r['tracked']} "
+                  f"kf={r['is_keyframe']} inliers={r['n_inliers']}")
+    dt = time.perf_counter() - t0
+    print(f"{len(seq)} frames in {dt:.1f}s ({len(seq)/dt:.1f} fps), "
+          f"{len(pipe.keyframes)} keyframes, "
+          f"{pipe.landmarks.shape[0]} landmarks")
+
+    gt = seq.gt_positions()
+    if gt is not None and len(pipe.trajectory) == gt.shape[0]:
+        ate = ate_rmse(pipe.positions(), gt, align=True, with_scale=True)
+        print(f"ATE RMSE (sim3-aligned): {ate:.4f} m")
+    if args.traj:
+        np.savetxt(args.traj, pipe.positions())
+        print(f"wrote {args.traj}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
 
@@ -208,6 +285,29 @@ def build_parser() -> argparse.ArgumentParser:
     _add_reference_flags(pm)
     pm.set_defaults(func=cmd_match)
 
+    pt = sub.add_parser("twoview", help="relative pose between two frames")
+    pt.add_argument("image_a")
+    pt.add_argument("image_b")
+    pt.add_argument("--ratio", type=float, default=0.8)
+    pt.add_argument("--threshold", type=float, default=2.0)
+    pt.add_argument("--fx", type=float)
+    pt.add_argument("--fy", type=float)
+    pt.add_argument("--cx", type=float)
+    pt.add_argument("--cy", type=float)
+    _add_reference_flags(pt)
+    pt.set_defaults(func=cmd_twoview)
+
+    ps = sub.add_parser("sfm", help="incremental SfM over a sequence")
+    ps.add_argument("path", help="sequence directory (TUM) or dataset root (KITTI)")
+    ps.add_argument("--format", choices=("tum", "kitti"), default="tum")
+    ps.add_argument("--sequence", default="00", help="KITTI sequence id")
+    ps.add_argument("--max-frames", type=int)
+    ps.add_argument("--stride", type=int, default=1)
+    ps.add_argument("--metrics", help="JSONL metrics output path")
+    ps.add_argument("--traj", help="write trajectory positions to this file")
+    ps.add_argument("--verbose", action="store_true")
+    ps.set_defaults(func=cmd_sfm)
+
     pb = sub.add_parser("bench", help="run the benchmark")
     pb.set_defaults(func=cmd_bench)
     return top
@@ -217,7 +317,8 @@ def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     # Reference compatibility: a bare image path (or --img usage) with no
     # subcommand behaves like the reference binary, i.e. `extract`.
-    if not argv or argv[0] not in SUBCOMMANDS:
+    if not argv or (argv[0] not in SUBCOMMANDS
+                    and argv[0] not in ("-h", "--help")):
         argv = ["extract"] + argv
     args = build_parser().parse_args(argv)
     if not hasattr(args, "func"):

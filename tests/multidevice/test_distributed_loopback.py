@@ -1,0 +1,77 @@
+"""Multi-host-without-a-cluster test (SURVEY.md §4): two OS processes join a
+jax.distributed coordinator over loopback (the DCN-path analog, Gloo
+collectives on CPU), each contributing 4 virtual devices to a global 8-device
+mesh, and run the distributed BA step. The result must match the
+single-process 8-device run exactly."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))))
+
+_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+pid, n, port, outdir = (int(sys.argv[1]), int(sys.argv[2]), sys.argv[3],
+                        sys.argv[4])
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                           num_processes=n, process_id=pid)
+sys.path.insert(0, "@REPO@")
+import numpy as np
+import jax.numpy as jnp
+from sift_tpu.config import BAConfig, MeshConfig
+from sift_tpu.dist.mesh import make_mesh
+from sift_tpu.dist.ba_dist import run_ba_sharded
+from sift_tpu.io.synthetic import make_scene, pad_observations
+
+assert len(jax.devices()) == 4 * n, jax.devices()
+scene = make_scene(np.random.default_rng(21), num_cameras=5,
+                   num_landmarks=96, pose_noise=0.02, landmark_noise=0.1)
+scene = pad_observations(scene, 512)
+fixed = np.zeros(5, bool); fixed[:2] = True
+mesh = make_mesh(MeshConfig(data=4 * n, model=1))
+st = run_ba_sharded(
+    mesh, jnp.asarray(scene["poses_init"]), jnp.asarray(scene["intrinsics"]),
+    jnp.asarray(scene["landmarks_init"]), scene["obs_cam"], scene["obs_lm"],
+    scene["obs_uv"], scene["obs_valid"],
+    cfg=BAConfig(max_iterations=6, cg_iterations=30),
+    fixed_cam_mask=jnp.asarray(fixed))
+if pid == 0:
+    np.save(os.path.join(outdir, f"poses_{n}proc.npy"),
+            np.asarray(jax.device_get(st.poses)))
+"""
+
+
+@pytest.mark.slow
+def test_two_process_ba_matches_single_process(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER.replace("@REPO@", _REPO))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH", "XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = ""
+    env["PALLAS_AXON_POOL_IPS"] = ""
+
+    def run(n, port):
+        procs = [subprocess.Popen(
+            [sys.executable, str(script), str(pid), str(n), port,
+             str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True) for pid in range(n)]
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            assert p.returncode == 0, err[-3000:]
+
+    run(1, "19741")            # single process, 4 devices
+    run(2, "19742")            # two processes, 4 devices each
+
+    a = np.load(tmp_path / "poses_1proc.npy")
+    b = np.load(tmp_path / "poses_2proc.npy")
+    # Same optimization across process counts (float reassociation only).
+    np.testing.assert_allclose(a, b, atol=1e-4)
