@@ -17,6 +17,7 @@ stencil. A Pallas version for large batched images lives in
 
 from __future__ import annotations
 
+import functools
 import math
 
 import numpy as np
@@ -87,6 +88,43 @@ def _conv_1d(img: jnp.ndarray, taps: np.ndarray, axis: int) -> jnp.ndarray:
     return y.reshape(lead + (h, w))
 
 
+def _mirror_index(j: int, n: int) -> int:
+    """scipy 'mirror' (reflect-without-edge-duplication) index folding."""
+    if n == 1:
+        return 0
+    period = 2 * n - 2
+    j = j % period
+    return j if j < n else period - j
+
+
+@functools.lru_cache(maxsize=None)
+def blur_matrix(n: int, sigma: float, radius: int | None = None) -> np.ndarray:
+    """(n, n) banded blur operator with mirror border folded into the band.
+
+    Row i holds the Gaussian taps centred at i, with out-of-range taps
+    reflected back inside — multiplying by this matrix is *exactly* the
+    mirror-padded 1-D convolution. The payoff: a 1-channel convolution is
+    VPU work XLA runs at a few GFLOP/s, but `A_h @ img @ A_w` is two dense
+    matmuls that tile straight onto the MXU (the pyramid's whole cost).
+    Matrices are compile-time constants (sigma and sizes are static config),
+    cached per (size, sigma).
+    """
+    taps = gaussian_kernel_1d(sigma, radius=radius, dtype=np.float64)
+    r = (len(taps) - 1) // 2
+    A = np.zeros((n, n), np.float64)
+    for i in range(n):
+        for k, t in enumerate(taps):
+            A[i, _mirror_index(i + k - r, n)] += t
+    return A.astype(np.float32)
+
+
+# Below this size the matmul wins outright; above it the O(n) band conv wins
+# (the band is ~13-30 wide, so the dense matmul does ~n/30x extra FLOPs —
+# cheap on the MXU up to ~1k-sized images, which covers every pyramid level
+# of VGA-class inputs).
+_MATMUL_MAX_DIM = 1200
+
+
 def gaussian_blur(img: jnp.ndarray, sigma: float,
                   radius: int | None = None) -> jnp.ndarray:
     """Separable Gaussian blur of a (..., H, W) image stack.
@@ -94,9 +132,17 @@ def gaussian_blur(img: jnp.ndarray, sigma: float,
     `sigma` is a static Python float (pyramid schedules are config-derived,
     so every tap vector is a compile-time constant).
     """
+    h, w = img.shape[-2], img.shape[-1]
+    if max(h, w) <= _MATMUL_MAX_DIM:
+        Ah = jnp.asarray(blur_matrix(h, float(sigma), radius))
+        Aw = jnp.asarray(blur_matrix(w, float(sigma), radius))
+        # Reference order X then Y (algorithms.cpp:18-19); exact either way.
+        out = jnp.einsum("...hw,wW->...hW", img, Aw.T,
+                         precision=lax.Precision.HIGHEST)
+        out = jnp.einsum("Hh,...hw->...Hw", Ah, out,
+                         precision=lax.Precision.HIGHEST)
+        return out
     taps = gaussian_kernel_1d(sigma, radius=radius)
-    # Reference order: X (width) then Y (height) (algorithms.cpp:18-19).
-    # Separable and exact either way; keep the same order for bit-parity.
     out = _conv_1d(img, taps, axis=1)
     out = _conv_1d(out, taps, axis=0)
     return out
