@@ -93,51 +93,6 @@ def _circular_smooth(hist: jnp.ndarray, passes: int = 1) -> jnp.ndarray:
     return hist
 
 
-def orientation_histograms_lowe(kp: dict, mag: jnp.ndarray, ori: jnp.ndarray,
-                                gauss_sigmas_o: np.ndarray, octave_factor: float,
-                                octave: int, cfg: SiftConfig) -> jnp.ndarray:
-    """36-bin weighted histograms for one octave's keypoint buffer.
-
-    mag/ori: (Lg, H, W) this octave's gradient maps. Returns (K, 36).
-    """
-    K = kp["x"].shape[0]
-    H, W = mag.shape[-2:]
-    sigma_within = kp["scale"] / jnp.float32(octave_factor ** octave)
-    # gaussian level whose sigma is nearest within this octave
-    table = jnp.asarray(gauss_sigmas_o, jnp.float32)
-    gl = jnp.argmin(jnp.abs(table[None, :] - sigma_within[:, None]), axis=-1)
-
-    if H < 2 * R + 1 or W < 2 * R + 1:
-        # octave smaller than the window: nothing can be in bounds
-        return (jnp.zeros((K, 36), mag.dtype), gl,
-                jnp.zeros((K,), bool))
-
-    xi = jnp.clip(kp["x"].astype(jnp.int32), R, W - R - 1)
-    yi = jnp.clip(kp["y"].astype(jnp.int32), R, H - R - 1)
-    in_bounds = ((kp["x"] >= R) & (kp["x"] < W - R) &
-                 (kp["y"] >= R) & (kp["y"] < H - R))
-
-    def one(l, y, x):
-        m = gather_window(mag[l], y, x)
-        o = gather_window(ori[l], y, x)
-        return m, o
-
-    m_win, o_win = jax.vmap(one)(gl, yi, xi)            # (K, 16, 16)
-
-    # analytic Gaussian weights around the (sub-pixel) centre
-    dy = (jnp.arange(2 * R, dtype=jnp.float32) - R)[None, :, None] \
-        + (yi.astype(jnp.float32) - kp["y"])[:, None, None]
-    dx = (jnp.arange(2 * R, dtype=jnp.float32) - R)[None, None, :] \
-        + (xi.astype(jnp.float32) - kp["x"])[:, None, None]
-    sw = 1.5 * sigma_within
-    wgt = jnp.exp(-(dx * dx + dy * dy) / (2.0 * sw * sw)[:, None, None])
-
-    hist = weighted_histogram(o_win.reshape(K, -1),
-                              (m_win * wgt).reshape(K, -1), 36, 10.0)
-    hist = _circular_smooth(hist, passes=2)
-    return jnp.where(in_bounds[:, None], hist, 0.0), gl, in_bounds
-
-
 def peaks_from_histogram(hist: jnp.ndarray, max_peaks: int, rel: float = 0.8):
     """Top `max_peaks` circular local maxima >= rel*max, parabola-refined.
 

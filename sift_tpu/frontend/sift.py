@@ -28,11 +28,12 @@ from sift_tpu.types import Keypoints
 from sift_tpu.frontend.pyramid import build_pyramid
 from sift_tpu.frontend.extrema import detect_extrema_octave
 from sift_tpu.frontend.refine import refine_octave_lowe
-from sift_tpu.frontend.orientation import (
-    orientation_histograms_lowe,
-    peaks_from_histogram,
+from sift_tpu.frontend.windows import (
+    R_ORI,
+    gather_gradient_windows,
+    orientation_from_windows,
+    descriptors_from_windows,
 )
-from sift_tpu.frontend.descriptor import descriptors_lowe
 from sift_tpu.frontend.parity import extract_parity
 
 MAX_ORI_PEAKS = 2
@@ -64,14 +65,38 @@ def extract_lowe(img: jnp.ndarray, cfg: SiftConfig,
                                   o, octave_factor)
 
         g = pyr.gauss[o]
+        H, W = g.shape[-2:]
         dxm, dym = _gradient_xy(g)
-        mag = jnp.sqrt(dxm * dxm + dym * dym)
-        ori = jnp.mod(jnp.degrees(jnp.arctan2(dym, dxm)) + 360.0, 360.0)
 
-        hist, gl, in_bounds = orientation_histograms_lowe(
-            cand, mag, ori, pyr.gauss_sigmas[o], octave_factor, o, cfg)
-        peak_oris, peak_valid = peaks_from_histogram(hist, MAX_ORI_PEAKS,
-                                                     cfg.ori_peak_rel)
+        # gaussian level whose sigma is nearest the keypoint's within-octave
+        # scale; gradients are read from that level
+        sigma_within = cand["scale"] / jnp.float32(octave_factor ** o)
+        table = jnp.asarray(pyr.gauss_sigmas[o], jnp.float32)
+        gl = jnp.argmin(jnp.abs(table[None, :] - sigma_within[:, None]),
+                        axis=-1)
+        in_bounds = ((cand["x"] >= R_ORI) & (cand["x"] < W - R_ORI) &
+                     (cand["y"] >= R_ORI) & (cand["y"] < H - R_ORI))
+
+        # ONE contiguous gradient window per keypoint feeds both the
+        # orientation histogram and (both) descriptors — see windows.py.
+        # Tiny top octaves clamp the window to fit (or drop out entirely
+        # below the orientation radius).
+        from sift_tpu.frontend.windows import R_DESC
+        r_eff = min(R_DESC, H // 2, W // 2)
+        if r_eff < R_ORI:
+            K = cand["x"].shape[0]
+            peak_oris = jnp.zeros((K, MAX_ORI_PEAKS), jnp.float32)
+            peak_valid = jnp.zeros((K, MAX_ORI_PEAKS), bool)
+            gxw = jnp.zeros((K, 2 * R_ORI, 2 * R_ORI), jnp.float32)
+            gyw = jnp.zeros_like(gxw)
+            oy0 = jnp.zeros((K,), jnp.float32)
+            ox0 = jnp.zeros((K,), jnp.float32)
+        else:
+            gxw, gyw, oy0, ox0 = gather_gradient_windows(
+                dxm, dym, gl, cand["y"], cand["x"], radius=r_eff)
+            peak_oris, peak_valid = orientation_from_windows(
+                gxw, gyw, oy0, ox0, sigma_within, in_bounds, cfg,
+                MAX_ORI_PEAKS)
 
         # duplicate keypoints per orientation peak: (K,) -> (K*P,)
         K = cand["x"].shape[0]
@@ -80,7 +105,6 @@ def extract_lowe(img: jnp.ndarray, cfg: SiftConfig,
         def rep(a):
             return jnp.repeat(a, P, axis=0)
 
-        sigma_within = cand["scale"] / jnp.float32(octave_factor ** o)
         dup = dict(
             x=rep(cand["x"]), y=rep(cand["y"]),
             octave=jnp.full((K * P,), o, jnp.int32),
@@ -90,7 +114,9 @@ def extract_lowe(img: jnp.ndarray, cfg: SiftConfig,
             valid=rep(cand["valid"] & in_bounds) & peak_valid.reshape(-1),
         )
         if with_descriptors:
-            d = descriptors_lowe(dup, dxm, dym, rep(gl), rep(sigma_within), cfg)
+            d = descriptors_from_windows(
+                rep(gxw), rep(gyw), rep(oy0), rep(ox0),
+                dup["orientation"], rep(sigma_within), cfg)
             descs.append(d)
         for f in fields:
             buffers[f].append(dup[f])
