@@ -1,0 +1,131 @@
+"""Component benchmarks: matching, RANSAC, bundle adjustment, blur.
+
+Prints one JSON line per component. Run on whatever backend JAX selects
+(the attached TPU in production; CPU in CI smoke runs with BENCH_SMALL=1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SMALL = bool(int(os.environ.get("BENCH_SMALL", "0")))
+
+
+def bench_matching():
+    import jax.numpy as jnp
+    from sift_tpu.config import MatchConfig
+    from sift_tpu.matching.matcher import match_descriptors
+    from sift_tpu.utils.timing import chained_time, tree_scalar
+
+    n = 1024 if SMALL else 4096
+    rng = np.random.default_rng(0)
+    d = rng.standard_normal((2, n, 128)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    cfg = MatchConfig(max_matches=n)
+    valid = jnp.ones((n,), bool)
+
+    def fn(da):
+        m = match_descriptors(da, valid, jnp.asarray(d[1]), valid, cfg)
+        return tree_scalar((m.distance, m.idx_a))
+
+    t = chained_time(fn, (jnp.asarray(d[0]),))
+    pairs = n * n
+    return dict(metric="matching_pairs_per_s", value=round(pairs / t / 1e9, 3),
+                unit="Gpairs/s", detail=f"{n}x{n} desc128, t={t*1e3:.2f}ms")
+
+
+def bench_ransac():
+    import jax
+    import jax.numpy as jnp
+    from sift_tpu.config import RansacConfig
+    from sift_tpu.geometry.homography import ransac_homography
+    from sift_tpu.utils.timing import chained_time, tree_scalar
+
+    n = 512 if SMALL else 2048
+    hyp = 256 if SMALL else 1024
+    rng = np.random.default_rng(1)
+    pa = rng.uniform(0, 640, (n, 2)).astype(np.float32)
+    H = np.array([[0.9, 0.05, 20], [-0.02, 1.05, -10], [1e-4, 5e-5, 1]])
+    ph = np.concatenate([pa, np.ones((n, 1))], -1) @ H.T
+    pb = (ph[:, :2] / ph[:, 2:]).astype(np.float32)
+    cfg = RansacConfig(num_hypotheses=hyp)
+    key = jax.random.PRNGKey(0)
+    valid = jnp.ones((n,), bool)
+
+    def fn(a):
+        est = ransac_homography(key, a, jnp.asarray(pb), valid, cfg)
+        return tree_scalar((est.model, est.num_inliers))
+
+    t = chained_time(fn, (jnp.asarray(pa),))
+    return dict(metric="ransac_hypotheses_per_s",
+                value=round(hyp / t / 1e3, 1), unit="khyp/s",
+                detail=f"{hyp} hyp x {n} matches, t={t*1e3:.2f}ms")
+
+
+def bench_ba():
+    import jax.numpy as jnp
+    from sift_tpu.config import BAConfig
+    from sift_tpu.ba.solver import run_ba
+    from sift_tpu.io.synthetic import make_scene, pad_observations
+    from sift_tpu.utils.timing import chained_time, tree_scalar
+
+    ncam, nlm, cap = (8, 256, 2048) if SMALL else (32, 2048, 16384)
+    scene = make_scene(np.random.default_rng(2), num_cameras=ncam,
+                       num_landmarks=nlm, pose_noise=0.01,
+                       landmark_noise=0.05)
+    scene = pad_observations(scene, cap)
+    fixed = np.zeros(ncam, bool)
+    fixed[:2] = True
+    iters = 5
+    cfg = BAConfig(max_iterations=iters, cg_iterations=30)
+    args = [jnp.asarray(scene[k]) for k in
+            ("poses_init", "intrinsics", "landmarks_init", "obs_cam",
+             "obs_lm", "obs_uv", "obs_valid")]
+
+    def fn(poses, *rest):
+        st = run_ba(poses, *rest, cfg, jnp.asarray(fixed))
+        return tree_scalar((st.poses, st.landmarks, st.cost))
+
+    t = chained_time(fn, tuple(args), reps_lo=1, reps_hi=4)
+    n_obs = int(scene["obs_valid"].sum())
+    return dict(metric="ba_obs_iters_per_s",
+                value=round(n_obs * iters / t / 1e6, 3), unit="Mobs*it/s",
+                detail=f"{ncam}cam/{nlm}lm/{n_obs}obs x{iters}LM, "
+                       f"t={t*1e3:.1f}ms")
+
+
+def bench_blur():
+    import jax.numpy as jnp
+    from sift_tpu.kernels.gaussian import gaussian_blur
+    from sift_tpu.utils.timing import chained_time
+
+    b, h, w = (2, 256, 256) if SMALL else (8, 488, 600)
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(0, 255, (b, h, w)).astype(np.float32))
+
+    def fn(x):
+        return jnp.sum(gaussian_blur(x, 1.6))
+
+    t = chained_time(fn, (img,))
+    gb = b * h * w * 4 * 2 / 1e9
+    return dict(metric="blur_throughput", value=round(gb / t, 1),
+                unit="GB/s", detail=f"{b}x{h}x{w} sigma=1.6, t={t*1e3:.2f}ms")
+
+
+def main():
+    for fn in (bench_matching, bench_ransac, bench_ba, bench_blur):
+        try:
+            print(json.dumps(fn()))
+        except Exception as e:  # keep the report going
+            print(json.dumps({"metric": fn.__name__, "error": str(e)[:200]}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
