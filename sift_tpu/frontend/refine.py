@@ -103,6 +103,46 @@ def refine_octave_parity(dogs: jnp.ndarray, cand: dict, cfg: SiftConfig) -> dict
     return out
 
 
+def _stencil_maps(dogs: jnp.ndarray) -> jnp.ndarray:
+    """(11, L*H*W) flat stencil maps: center, grad (3), hessian uniques (6),
+    plus a padding row.
+
+    Per-keypoint 3x3x3 patch slices cost ~2 us each on TPU; precomputing the
+    stencils as whole-stack shifted adds (pure VPU, the DoG stack is ~1 MB)
+    turns each refinement iteration into ONE small (11, K) gather. Border
+    values wrap via roll — harmless because lookups are clipped interior.
+    """
+    def sh(ds_, dy, dx):
+        return jnp.roll(dogs, (-ds_, -dy, -dx), axis=(0, 1, 2))
+
+    c = dogs
+    dx = (sh(0, 0, 1) - sh(0, 0, -1)) * 0.5
+    dy = (sh(0, 1, 0) - sh(0, -1, 0)) * 0.5
+    ds = (sh(1, 0, 0) - sh(-1, 0, 0)) * 0.5
+    dxx = sh(0, 0, 1) + sh(0, 0, -1) - 2.0 * c
+    dyy = sh(0, 1, 0) + sh(0, -1, 0) - 2.0 * c
+    dss = sh(1, 0, 0) + sh(-1, 0, 0) - 2.0 * c
+    dxy = (sh(0, 1, 1) - sh(0, 1, -1) - sh(0, -1, 1) + sh(0, -1, -1)) * 0.25
+    dxs = (sh(1, 0, 1) - sh(1, 0, -1) - sh(-1, 0, 1) + sh(-1, 0, -1)) * 0.25
+    dys = (sh(1, 1, 0) - sh(1, -1, 0) - sh(-1, 1, 0) + sh(-1, -1, 0)) * 0.25
+    maps = jnp.stack([c, dx, dy, ds, dxx, dyy, dss, dxy, dxs, dys])
+    return maps.reshape(10, -1)
+
+
+def _lookup(maps_flat: jnp.ndarray, li, yi, xi, H: int, W: int):
+    """Gather the 10 stencil values at (li, yi, xi): returns
+    (d_center (K,), grad (K, 3), hess (K, 3, 3))."""
+    idx = (li * H + yi) * W + xi
+    vals = jnp.take(maps_flat, idx, axis=1)            # (10, K)
+    c, dx, dy, ds, dxx, dyy, dss, dxy, dxs, dys = vals
+    grad = jnp.stack([dx, dy, ds], axis=-1)
+    row0 = jnp.stack([dxx, dxy, dxs], axis=-1)
+    row1 = jnp.stack([dxy, dyy, dys], axis=-1)
+    row2 = jnp.stack([dxs, dys, dss], axis=-1)
+    hess = jnp.stack([row0, row1, row2], axis=-2)
+    return c, grad, hess
+
+
 def refine_octave_lowe(dogs: jnp.ndarray, cand: dict, cfg: SiftConfig,
                        dog_sigmas, octave: int, octave_factor: float) -> dict:
     """Iterative sub-pixel refinement + contrast/edge filtering."""
@@ -111,11 +151,11 @@ def refine_octave_lowe(dogs: jnp.ndarray, cand: dict, cfg: SiftConfig,
     xi0 = cand["x"].astype(jnp.int32)
     yi0 = cand["y"].astype(jnp.int32)
     li0 = cand["level"]
+    maps = _stencil_maps(dogs)
 
     def body(_, state):
         xi, yi, li, _, _, _, converged = state
-        patches = jax.vmap(lambda l, y, x: _gather_patch(dogs, l, y, x))(li, yi, xi)
-        grad, hess = scale_space_gradient_hessian(patches, parity=False)
+        d_center, grad, hess = _lookup(maps, li, yi, xi, H, W)
         off, solvable = solve3x3(hess, -grad)
         off = jnp.where(solvable[:, None], off, 0.0)
         small = jnp.all(jnp.abs(off) < 0.5, axis=-1)
@@ -126,17 +166,15 @@ def refine_octave_lowe(dogs: jnp.ndarray, cand: dict, cfg: SiftConfig,
         yi = jnp.clip(yi + step[:, 1], 1, H - 2)
         li = jnp.clip(li + step[:, 2], 1, L - 2)
         converged = converged | small
-        return xi, yi, li, off, grad, patches[:, 1, 1, 1], converged
+        return xi, yi, li, off, grad, d_center, converged
 
     init = (xi0, yi0, li0, jnp.zeros((K, 3)), jnp.zeros((K, 3)),
             jnp.zeros((K,)), jnp.zeros((K,), bool))
     xi, yi, li, off, grad, d_center, converged = lax.fori_loop(0, 5, body, init)
 
     # Final quantities at the converged location.
-    patches = jax.vmap(lambda l, y, x: _gather_patch(dogs, l, y, x))(li, yi, xi)
-    grad, hess = scale_space_gradient_hessian(patches, parity=False)
+    d_center, grad, hess = _lookup(maps, li, yi, xi, H, W)
     off, solvable = solve3x3(hess, -grad)
-    d_center = patches[:, 1, 1, 1]
 
     d_hat = d_center + 0.5 * jnp.einsum("ki,ki->k", grad, off)
     contrast_ok = jnp.abs(d_hat) >= cfg.contrast_threshold * cfg.image_max
