@@ -88,6 +88,8 @@ def make_chained(cfg, reps: int):
 
 
 def main() -> int:
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/sift_tpu_xla"))
     import jax
     import jax.numpy as jnp
     from sift_tpu.config import SiftConfig

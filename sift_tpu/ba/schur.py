@@ -103,10 +103,15 @@ def build_system(poses, intrinsics, landmarks, obs_cam, obs_lm, obs_uv,
     g_cam = _seg_sum(jnp.einsum("oik,oi->ok", Jc, r), obs_cam, C, axis_name)
     g_lm = _seg_sum(jnp.einsum("oik,oi->ok", Jl, r), obs_lm, L, axis_name)
 
+    # Marquardt-style relative damping plus a small absolute floor: pure
+    # lambda*I leaves tiny-Jacobian blocks with condition ~|J^T J|/lambda,
+    # which overwhelms float32 3x3 inversion and emits NaN updates.
     eye6 = jnp.eye(6, dtype=U.dtype)
     eye3 = jnp.eye(3, dtype=V.dtype)
-    U = U + damping * eye6
-    V = V + damping * eye3
+    du = jnp.einsum("cii->c", U)[:, None, None] / 6.0
+    dv = jnp.einsum("lii->l", V)[:, None, None] / 3.0
+    U = U + (damping * (1.0 + du) + 1e-6 * du) * eye6
+    V = V + (damping * (1.0 + dv) + 1e-6 * dv) * eye3
     if landmark_axis is not None:
         V_inv = _sharded_inv3(V, landmark_axis)
     else:

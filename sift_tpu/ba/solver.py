@@ -82,6 +82,11 @@ def run_ba(poses, intrinsics, landmarks, obs_cam, obs_lm, obs_uv, obs_valid,
         dc, k = pcg(sys, b, cfg.cg_iterations, cfg.cg_tol)
         dc = jnp.where(fixed_cam_mask[:, None], 0.0, dc)
         dl = back_substitute(sys, dc)
+        # Non-finite updates (degenerate blocks at float32 precision) must
+        # not poison the state: the robust cost masks NaN observations, so
+        # a poisoned-but-"accepted" step would otherwise slip through.
+        dc = jnp.where(jnp.isfinite(dc), dc, 0.0)
+        dl = jnp.where(jnp.isfinite(dl), dl, 0.0)
 
         new_poses = lie.boxplus(st.poses, dc)     # manifold retraction
         new_lms = st.landmarks + dl

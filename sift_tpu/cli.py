@@ -240,9 +240,11 @@ def cmd_sfm(args) -> int:
 
     logger = MetricsLogger(args.metrics) if args.metrics else None
     pipe = SfmPipeline(seq.intrinsics, PipelineConfig(), logger=logger)
+    use_depth = args.format == "tum" and not args.no_depth
     t0 = time.perf_counter()
     for frame in seq:
-        r = pipe.process_frame(frame.gray)
+        r = pipe.process_frame(frame.gray,
+                               depth=frame.depth if use_depth else None)
         if args.verbose:
             print(f"frame {r['frame_idx']}: tracked={r['tracked']} "
                   f"kf={r['is_keyframe']} inliers={r['n_inliers']}")
@@ -253,8 +255,12 @@ def cmd_sfm(args) -> int:
 
     gt = seq.gt_positions()
     if gt is not None and len(pipe.trajectory) == gt.shape[0]:
-        ate = ate_rmse(pipe.positions(), gt, align=True, with_scale=True)
-        print(f"ATE RMSE (sim3-aligned): {ate:.4f} m")
+        # RGB-D trajectories are metric (rigid alignment); monocular ones
+        # are scale-free (similarity alignment).
+        ate = ate_rmse(pipe.positions(), gt, align=True,
+                       with_scale=not use_depth)
+        kind = "se3" if use_depth else "sim3"
+        print(f"ATE RMSE ({kind}-aligned): {ate:.4f} m")
     if args.traj:
         np.savetxt(args.traj, pipe.positions())
         print(f"wrote {args.traj}")
@@ -304,6 +310,8 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--max-frames", type=int)
     ps.add_argument("--stride", type=int, default=1)
     ps.add_argument("--metrics", help="JSONL metrics output path")
+    ps.add_argument("--no-depth", action="store_true",
+                    help="ignore TUM depth maps (pure monocular)")
     ps.add_argument("--traj", help="write trajectory positions to this file")
     ps.add_argument("--verbose", action="store_true")
     ps.set_defaults(func=cmd_sfm)
@@ -314,6 +322,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    import os
+    # Persistent XLA compilation cache: the extractor is a large program and
+    # cold compiles take minutes; warm runs load from disk.
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/sift_tpu_xla"))
     argv = list(sys.argv[1:] if argv is None else argv)
     # Reference compatibility: a bare image path (or --img usage) with no
     # subcommand behaves like the reference binary, i.e. `extract`.

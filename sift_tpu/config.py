@@ -38,8 +38,13 @@ class SiftConfig:
     # detection, and max total keypoints after orientation assignment
     # (orientation peaks can spawn duplicates). Downstream buffers are sized
     # by these; excess detections are dropped lowest-score-first.
+    # Octave o's cap decays as base >> o (octave o has 4^-o the pixels), with
+    # a floor of 64 — this halves the per-keypoint stage cost vs a flat cap.
     max_keypoints_per_octave: int = 512
     max_keypoints: int = 1024
+
+    def octave_cap(self, octave: int) -> int:
+        return max(self.max_keypoints_per_octave >> octave, 64)
 
     # Lowe-mode thresholds (the parity thresholds are hard-coded quirk values
     # in frontend/parity.py: 127.5 offset bound, 7.65 contrast, r=10 edge).
@@ -157,6 +162,20 @@ class PipelineConfig:
     kf_max_interval: int = 10             # ... or this many frames elapsed
     min_triangulation_angle_deg: float = 0.5
     max_reproj_error_px: float = 3.0
+
+    # RGB-D: accepted depth range in meters (sensor-dependent; TUM Kinect
+    # is reliable to ~5-8 m, synthetic scenes can be deeper).
+    depth_min: float = 0.1
+    depth_max: float = 25.0
+
+    # Loop closure / pose-graph SLAM.
+    enable_loop_closure: bool = False
+    loop_candidates: int = 4          # old keyframes probed per promotion
+    loop_min_inliers: int = 40        # 2D-3D inliers to accept a closure
+    loop_max_rmse: float = 1.0        # px; genuine revisits re-localize tightly
+    loop_weight: float = 10.0         # edge information vs odometry's 1.0
+    max_pose_graph_nodes: int = 256   # static PGO capacity (pad + mask)
+    max_pose_graph_edges: int = 1024
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

@@ -49,15 +49,19 @@ def _window_extreme(x: jnp.ndarray, quadrant: bool, is_max: bool) -> jnp.ndarray
     return out
 
 
-def detect_extrema_octave(dogs: jnp.ndarray, cfg: SiftConfig) -> Tuple[jnp.ndarray, ...]:
+def detect_extrema_octave(dogs: jnp.ndarray, cfg: SiftConfig,
+                          octave: int = 0) -> Tuple[jnp.ndarray, ...]:
     """dogs: (L, H, W) one octave's DoG stack. Returns fixed-size candidate
-    buffers (x, y, level, score, valid), each (K,) with K = cfg.max_keypoints_per_octave.
+    buffers (x, y, level, score, valid), each (K,) with
+    K = cfg.octave_cap(octave) in lowe mode (descending caps — higher
+    octaves have 4^-o the pixels) and the flat cfg.max_keypoints_per_octave
+    in parity mode (golden tests must not truncate).
 
     Scans interior levels 1..L-2 (the reference's loop bound, sift.cpp:353).
     """
     parity = cfg.mode == "parity"
     L, H, W = dogs.shape
-    K = cfg.max_keypoints_per_octave
+    K = cfg.max_keypoints_per_octave if parity else cfg.octave_cap(octave)
 
     wmax = _window_extreme(dogs, quadrant=parity, is_max=True)
     wmin = _window_extreme(dogs, quadrant=parity, is_max=False)
@@ -121,7 +125,7 @@ def detect_extrema(pyr: Pyramid, cfg: SiftConfig):
     """
     xs, ys, lvls, octs, scales, scores, valids = [], [], [], [], [], [], []
     for o in range(pyr.num_octaves):
-        x, y, lvl, score, valid = detect_extrema_octave(pyr.dogs[o], cfg)
+        x, y, lvl, score, valid = detect_extrema_octave(pyr.dogs[o], cfg, o)
         xs.append(x); ys.append(y); lvls.append(lvl)
         octs.append(jnp.full_like(lvl, o))
         # keypoint "scale" = recorded DoG scale of its level (sift.cpp:373)

@@ -59,7 +59,7 @@ def extract_lowe(img: jnp.ndarray, cfg: SiftConfig,
     descs = []
 
     for o in range(pyr.num_octaves):
-        x, y, lvl, score, valid = detect_extrema_octave(pyr.dogs[o], cfg)
+        x, y, lvl, score, valid = detect_extrema_octave(pyr.dogs[o], cfg, o)
         cand = dict(x=x, y=y, level=lvl, score=score, valid=valid)
         cand = refine_octave_lowe(pyr.dogs[o], cand, cfg, pyr.dog_sigmas,
                                   o, octave_factor)

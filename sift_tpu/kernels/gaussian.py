@@ -120,9 +120,9 @@ def blur_matrix(n: int, sigma: float, radius: int | None = None) -> np.ndarray:
 
 # Below this size the matmul wins outright; above it the O(n) band conv wins
 # (the band is ~13-30 wide, so the dense matmul does ~n/30x extra FLOPs —
-# cheap on the MXU up to ~1k-sized images, which covers every pyramid level
-# of VGA-class inputs).
-_MATMUL_MAX_DIM = 1200
+# cheap on the MXU up to ~2k-sized images, which covers every pyramid level
+# of VGA- and KITTI-class (1241x376) inputs).
+_MATMUL_MAX_DIM = 2048
 
 
 def gaussian_blur(img: jnp.ndarray, sigma: float,

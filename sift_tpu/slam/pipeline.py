@@ -55,6 +55,30 @@ def _se3_exp_np(xi):
     return np.asarray(R), np.asarray(t)
 
 
+@jax.jit
+def _rel_pose_jit(xi_i, xi_j):
+    Ri, ti = lie.se3_exp(xi_i)
+    Rj, tj = lie.se3_exp(xi_j)
+    Rii, tii = lie.se3_inverse(Ri, ti)
+    R, t = lie.se3_compose(Rii, tii, Rj, tj)
+    return lie.se3_log(R, t)
+
+
+@jax.jit
+def _pose_deltas_jit(old, new):
+    """Batched rigid corrections T_new T_old^-1: (N,6)x(N,6) -> (N,3,3),(N,3)."""
+    Ro, to = lie.se3_exp(old)
+    Rn, tn = lie.se3_exp(new)
+    Roi, toi = lie.se3_inverse(Ro, to)
+    return lie.se3_compose(Rn, tn, Roi, toi)
+
+
+@jax.jit
+def _pgo_jit(graph):
+    from sift_tpu.slam.pose_graph import optimize_pose_graph
+    return optimize_pose_graph(graph, iterations=15)
+
+
 def _se3_log_np(R, t):
     return np.asarray(lie.se3_log(jnp.asarray(R, jnp.float32),
                                   jnp.asarray(t, jnp.float32)))
@@ -87,10 +111,16 @@ class SfmPipeline:
 
         self.keyframes: List[Keyframe] = []
         self.landmarks = np.zeros((0, 3), np.float32)
+        self.lm_ref_kf = np.zeros((0,), np.int64)   # creating keyframe index
         self.trajectory: List[Dict] = []
         self.state = "bootstrap"
         self._frame_idx = -1
         self._frames_since_kf = 0
+
+        # Pose graph: odometry edges between consecutive keyframes plus
+        # loop-closure edges; optimized on every accepted closure.
+        self.pose_edges: List[Dict] = []
+        self.num_loop_closures = 0
 
         self._build_jit_stages()
 
@@ -185,22 +215,74 @@ class SfmPipeline:
         return k
 
     # ----------------------------------------------------------------- api
-    def process_frame(self, gray: np.ndarray) -> Dict:
+    def process_frame(self, gray: np.ndarray,
+                      depth: Optional[np.ndarray] = None) -> Dict:
         """Feed one grayscale frame ((H, W) float32 [0,255]); returns a dict
-        with `pose` (6,), `tracked` (bool), `is_keyframe` (bool)."""
+        with `pose` (6,), `tracked` (bool), `is_keyframe` (bool).
+
+        `depth` (optional, (H, W) meters, RGB-D mode): resolves the monocular
+        scale gauge — bootstrap backprojects the first keyframe's keypoints
+        directly instead of waiting for two-view parallax, and keyframes
+        spawn new landmarks from depth as well as triangulation.
+        """
         self._frame_idx += 1
         kp_dev = self._jit_extract(jnp.asarray(gray, jnp.float32))
         kp = _np_kp(kp_dev)
         if self.state == "bootstrap":
-            out = self._bootstrap_step(kp)
+            if depth is not None:
+                out = self._bootstrap_rgbd(kp, depth)
+            else:
+                out = self._bootstrap_step(kp)
         else:
-            out = self._tracking_step(kp)
+            out = self._tracking_step(kp, depth)
         out["frame_idx"] = self._frame_idx
         self.trajectory.append(out)
         if self.logger is not None:
             self.logger.log("frame", **{k: v for k, v in out.items()
                                         if not isinstance(v, np.ndarray)})
         return out
+
+    def _depth_at(self, kp: Dict[str, np.ndarray], depth: np.ndarray,
+                  slots: np.ndarray) -> np.ndarray:
+        """Per-keypoint depth sample (0 where invalid/out of range)."""
+        h, w = depth.shape
+        u = np.clip(kp["u"][slots].astype(np.int64), 0, w - 1)
+        v = np.clip(kp["v"][slots].astype(np.int64), 0, h - 1)
+        z = depth[v, u]
+        z = np.where(np.isfinite(z) & (z > self.cfg.depth_min)
+                     & (z < self.cfg.depth_max), z, 0.0)
+        return z
+
+    def _backproject(self, kp, slots, z, pose) -> np.ndarray:
+        """Keypoints + depth -> world points under `pose` (world-from-cam)."""
+        fx, fy, cx, cy = self.K
+        x = (kp["u"][slots] - cx) / fx * z
+        y = (kp["v"][slots] - cy) / fy * z
+        pts_c = np.stack([x, y, z], -1).astype(np.float32)
+        R, t = _se3_exp_np(pose)
+        return pts_c @ R.T + t
+
+    def _bootstrap_rgbd(self, kp, depth: np.ndarray) -> Dict:
+        """RGB-D bootstrap: landmarks from the first frame's depth map."""
+        pose0 = np.zeros(6, np.float32)
+        slots = np.nonzero(kp["valid"])[0]
+        z = self._depth_at(kp, depth, slots)
+        good = z > 0
+        slots = slots[good]
+        if slots.shape[0] < self.cfg.keyframe_min_inliers:
+            return dict(pose=pose0, tracked=False, is_keyframe=False,
+                        n_inliers=int(slots.shape[0]), state=self.state)
+        self.landmarks = self._backproject(kp, slots, z[good], pose0)
+        self.lm_ref_kf = np.zeros(slots.shape[0], np.int64)
+        kf = Keyframe(self._frame_idx, pose0, kp)
+        kf.kp_lm[slots] = np.arange(slots.shape[0])
+        self.keyframes.append(kf)
+        self.state = "tracking"
+        self._frames_since_kf = 0
+        if self.logger is not None:
+            self.logger.log("bootstrap_rgbd", n_landmarks=len(self.landmarks))
+        return dict(pose=pose0, tracked=True, is_keyframe=True,
+                    n_inliers=int(slots.shape[0]), state="tracking")
 
     def positions(self) -> np.ndarray:
         """Trajectory camera centers (F, 3) for evaluation."""
@@ -256,10 +338,12 @@ class SfmPipeline:
         sel = np.nonzero(good)[0]
         lm_ids = np.arange(sel.shape[0])
         self.landmarks = X[sel].astype(np.float32)
+        self.lm_ref_kf = np.zeros(sel.shape[0], np.int64)
         kf1 = Keyframe(self._frame_idx, pose1, kp)
         kf0.kp_lm[ia[sel]] = lm_ids
         kf1.kp_lm[ib[sel]] = lm_ids
         self.keyframes.append(kf1)
+        self._add_odometry_edge(0, 1)
 
         # Two-frame BA (gauge: both cameras fixed would freeze scale+pose;
         # fix cam0 fully, keep cam1 free — scale gauge held by fixing it too
@@ -274,7 +358,7 @@ class SfmPipeline:
                     is_keyframe=True, n_inliers=int(n_inl), state="tracking")
 
     # ------------------------------------------------------------ tracking
-    def _tracking_step(self, kp) -> Dict:
+    def _tracking_step(self, kp, depth: Optional[np.ndarray] = None) -> Dict:
         kf = self.keyframes[-1]
         m = self._jit_match(jnp.asarray(kf.kp["desc"]),
                             jnp.asarray(kf.kp["valid"]),
@@ -309,14 +393,16 @@ class SfmPipeline:
             n_inl < self.cfg.kf_min_tracked or
             self._frames_since_kf >= self.cfg.kf_max_interval)
         if is_kf:
-            self._promote_keyframe(kp, pose, m, inliers, sel, lm_of_match)
+            self._promote_keyframe(kp, pose, m, inliers, sel, lm_of_match,
+                                   depth)
             self._frames_since_kf = 0
             pose = self.keyframes[-1].pose
         return dict(pose=pose.astype(np.float32), tracked=tracked,
                     is_keyframe=is_kf, n_inliers=n_inl, rmse=float(rmse),
                     state=self.state)
 
-    def _promote_keyframe(self, kp, pose, m, inliers, sel, lm_of_match):
+    def _promote_keyframe(self, kp, pose, m, inliers, sel, lm_of_match,
+                          depth: Optional[np.ndarray] = None):
         kf_prev = self.keyframes[-1]
         valid = np.asarray(m.valid)
         ia, ib = np.asarray(m.idx_a), np.asarray(m.idx_b)
@@ -346,12 +432,157 @@ class SfmPipeline:
                 kf_prev.kp_lm[ia[nsel[gsel]]] = new_ids
                 new_kf.kp_lm[ib[nsel[gsel]]] = new_ids
 
+        if depth is not None:
+            # RGB-D: any still-unassociated keypoint with valid depth spawns
+            # a metric landmark (no parallax requirement).
+            free = np.nonzero(kp["valid"] & (new_kf.kp_lm < 0))[0]
+            z = self._depth_at(kp, depth, free)
+            good = z > 0
+            free = free[good]
+            if free.shape[0] > 0:
+                base = self.landmarks.shape[0]
+                self.landmarks = np.concatenate(
+                    [self.landmarks,
+                     self._backproject(kp, free, z[good], pose)])
+                new_kf.kp_lm[free] = base + np.arange(free.shape[0])
+
+        new_idx = len(self.keyframes)
         self.keyframes.append(new_kf)
+        # Landmarks created this promotion reference the new keyframe.
+        created = self.landmarks.shape[0] - self.lm_ref_kf.shape[0]
+        if created > 0:
+            self.lm_ref_kf = np.concatenate(
+                [self.lm_ref_kf, np.full(created, new_idx, np.int64)])
+        self._add_odometry_edge(new_idx - 1, new_idx)
+        if self.cfg.enable_loop_closure:
+            self._try_loop_closure(new_idx)
         self._run_window_ba(fix_first_n=2)
         if self.logger is not None:
             self.logger.log("keyframe", frame=self._frame_idx,
                             n_keyframes=len(self.keyframes),
                             n_landmarks=len(self.landmarks))
+
+    # ------------------------------------------------- pose graph / loops
+    def _rel_pose(self, xi_i: np.ndarray, xi_j: np.ndarray) -> np.ndarray:
+        """log(T_i^-1 T_j) as numpy (6,)."""
+        return np.asarray(_rel_pose_jit(jnp.asarray(xi_i),
+                                        jnp.asarray(xi_j)))
+
+    def _add_odometry_edge(self, i: int, j: int, weight: float = 1.0):
+        # z is refreshed from the *current* poses at every optimization —
+        # window BA keeps improving relative poses after edge creation, and
+        # optimizing against stale snapshots makes the graph fight the map
+        # (cost blow-up). Only loop edges keep their measured constraint.
+        self.pose_edges.append(dict(
+            i=i, j=j, kind="odom",
+            z=self._rel_pose(self.keyframes[i].pose, self.keyframes[j].pose),
+            w=weight))
+
+    def _try_loop_closure(self, new_idx: int):
+        """Probe a few old keyframes for a 2D-3D re-localization; accepted
+        closures add a high-weight pose-graph edge and trigger optimization."""
+        cfg = self.cfg
+        old_max = new_idx - cfg.window_size
+        if old_max < 1:
+            return
+        cand_idx = np.unique(np.linspace(0, old_max - 1,
+                                         cfg.loop_candidates).astype(int))
+        new_kf = self.keyframes[new_idx]
+        new_lms = new_kf.kp_lm[new_kf.kp_lm >= 0]
+        for oi in cand_idx:
+            old_kf = self.keyframes[oi]
+            # Covisibility gate: sharing landmarks with the candidate means
+            # it's a tracked neighbour, not a loop — re-closing against it
+            # just injects noisy redundant constraints and churns the graph.
+            old_lms = old_kf.kp_lm[old_kf.kp_lm >= 0]
+            if np.intersect1d(new_lms, old_lms).size > 10:
+                continue
+            m = self._jit_match(jnp.asarray(old_kf.kp["desc"]),
+                                jnp.asarray(old_kf.kp["valid"]),
+                                jnp.asarray(new_kf.kp["desc"]),
+                                jnp.asarray(new_kf.kp["valid"]))
+            valid = np.asarray(m.valid)
+            ia, ib = np.asarray(m.idx_a), np.asarray(m.idx_b)
+            lm_of = old_kf.kp_lm[ia]
+            has = valid & (lm_of >= 0)
+            sel = np.nonzero(has)[0]
+            if sel.shape[0] < cfg.loop_min_inliers:
+                continue
+            cap = cfg.match.max_matches
+            lms = np.zeros((cap, 3), np.float32)
+            uv = np.zeros((cap, 2), np.float32)
+            lms[:sel.shape[0]] = self.landmarks[lm_of[sel]]
+            uv[:sel.shape[0], 0] = new_kf.kp["u"][ib[sel]]
+            uv[:sel.shape[0], 1] = new_kf.kp["v"][ib[sel]]
+            pvalid = np.zeros(cap, bool)
+            pvalid[:sel.shape[0]] = True
+            pose, inl, rmse = self._jit_localize(
+                self._next_key(), jnp.asarray(new_kf.pose), jnp.asarray(lms),
+                jnp.asarray(uv), jnp.asarray(pvalid))
+            n_inl = int(np.asarray(inl).sum())
+            if n_inl < cfg.loop_min_inliers or \
+                    float(rmse) > cfg.loop_max_rmse:
+                continue
+            # Edge: old -> new with the re-localized pose.
+            self.pose_edges.append(dict(
+                i=int(oi), j=new_idx, kind="loop",
+                z=self._rel_pose(old_kf.pose, np.asarray(pose)),
+                w=cfg.loop_weight))
+            self.num_loop_closures += 1
+            if self.logger is not None:
+                self.logger.log("loop_closure", old=int(oi), new=new_idx,
+                                inliers=n_inl, rmse=float(rmse))
+            self._run_pose_graph()
+            break          # at most one closure per keyframe
+
+    def _run_pose_graph(self):
+        """Optimize all keyframe poses over the accumulated edge set (padded
+        static shapes), then re-anchor landmarks by their creating keyframe's
+        correction."""
+        from sift_tpu.slam.pose_graph import PoseGraph
+
+        cfg = self.cfg
+        N = cfg.max_pose_graph_nodes
+        E = cfg.max_pose_graph_edges
+        n = len(self.keyframes)
+        if n > N or len(self.pose_edges) > E:
+            return                      # capacity exceeded; skip (configurable)
+
+        poses = np.zeros((N, 6), np.float32)
+        old_poses = np.stack([kf.pose for kf in self.keyframes])
+        poses[:n] = old_poses
+        # Refresh odometry constraints to the current relative poses.
+        for e in self.pose_edges:
+            if e.get("kind") == "odom":
+                e["z"] = self._rel_pose(self.keyframes[e["i"]].pose,
+                                        self.keyframes[e["j"]].pose)
+        ei = np.zeros(E, np.int32)
+        ej = np.zeros(E, np.int32)
+        ez = np.zeros((E, 6), np.float32)
+        ew = np.zeros(E, np.float32)
+        for k, e in enumerate(self.pose_edges):
+            ei[k], ej[k], ez[k], ew[k] = e["i"], e["j"], e["z"], e["w"]
+        fixed = np.ones(N, bool)
+        fixed[1:n] = False              # node 0 is the gauge
+
+        graph = PoseGraph(poses=jnp.asarray(poses), edge_i=jnp.asarray(ei),
+                          edge_j=jnp.asarray(ej), edge_z=jnp.asarray(ez),
+                          edge_w=jnp.asarray(ew), fixed=jnp.asarray(fixed))
+        out = np.asarray(_pgo_jit(graph).poses)
+
+        # Apply corrections: keyframe poses, then landmarks via the rigid
+        # delta of their creating keyframe (T_new T_old^-1), batched.
+        Rd, td = _pose_deltas_jit(jnp.asarray(np.pad(
+            old_poses, ((0, N - n), (0, 0)))), jnp.asarray(out))
+        Rd, td = np.asarray(Rd), np.asarray(td)
+        for k in range(n):
+            self.keyframes[k].pose = out[k]
+        ref = self.lm_ref_kf
+        self.landmarks = np.einsum("lij,lj->li", Rd[ref], self.landmarks) \
+            + td[ref]
+        if self.logger is not None:
+            self.logger.log("pose_graph", nodes=n,
+                            edges=len(self.pose_edges))
 
     # ------------------------------------------------------------------ ba
     def _run_window_ba(self, fix_first_n: int = 2):

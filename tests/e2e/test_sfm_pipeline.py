@@ -76,8 +76,12 @@ class SyntheticWorld:
         v = fy * Xc[:, 1] / z + cy
         vis = (z > 0.5) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
         idx = np.nonzero(vis)[0]
-        self.rng.shuffle(idx)
-        idx = idx[:KP_CAP]
+        # Persistent per-landmark saliency: consecutive frames detect (mostly)
+        # the same subset under the cap, like a real detector would.
+        if not hasattr(self, "saliency"):
+            self.saliency = np.random.default_rng(99).uniform(
+                size=self.X.shape[0])
+        idx = idx[np.argsort(-self.saliency[idx])][:KP_CAP]
         n = idx.shape[0]
 
         u_n = u[idx] + self.rng.normal(0, self.pixel_noise, n)
@@ -143,6 +147,175 @@ def test_incremental_sfm_tracks_trajectory(world):
     ate = ate_rmse(est, gt, align=True, with_scale=True)
     # Trajectory spans ~5 m; sub-2% ATE.
     assert ate < 0.1, ate
+
+
+def test_rgbd_pipeline_metric_scale(world):
+    """RGB-D mode: depth resolves scale, so the ATE holds under *rigid*
+    (scale-free similarity not needed) alignment."""
+    cfg = PipelineConfig(
+        sift=SiftConfig(mode="lowe", max_keypoints=KP_CAP),
+        match=MatchConfig(ratio=0.85, max_matches=KP_CAP),
+        ransac=RansacConfig(num_hypotheses=256, inlier_threshold=2.0,
+                            min_inliers=15),
+        ba=BAConfig(max_iterations=8, cg_iterations=30),
+        window_size=6, ba_max_landmarks=1024, ba_max_observations=4096,
+        kf_min_tracked=80, kf_max_interval=6,
+        min_triangulation_angle_deg=0.25,
+    )
+    frames = {i: world.frame_keypoints(i) for i in range(len(world.poses))}
+    pipe = SfmPipeline(INTR, cfg, frontend=lambda g: frames[int(g[0, 0])])
+
+    fx, fy, cx, cy = INTR
+    n_frames = len(world.poses)
+    for i in range(n_frames):
+        # Synthetic dense depth: project the landmark cloud's median depth
+        # is not enough — render a depth map by splatting keypoint depths.
+        kp = frames[i]
+        valid = np.asarray(kp.valid)
+        u = np.asarray(kp.x)[valid].astype(int)
+        v = np.asarray(kp.y)[valid].astype(int)
+        # recover true depths for this frame's keypoints
+        R, t = lie.se3_exp(jnp.asarray(world.poses[i]))
+        R, t = np.asarray(R), np.asarray(t)
+        depth = np.zeros((H, W), np.float32)
+        # nearest-landmark depth at each keypoint pixel (exact by construction)
+        Xc = (world.X - t) @ R
+        uu = fx * Xc[:, 0] / Xc[:, 2] + cx
+        vv = fy * Xc[:, 1] / Xc[:, 2] + cy
+        ok = (Xc[:, 2] > 0.5) & (uu >= 1) & (uu < W - 1) & (vv >= 1) & (vv < H - 1)
+        # splat a 3x3 patch so noisy keypoint pixels still read valid depth
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                depth[vv[ok].astype(int) + dy,
+                      uu[ok].astype(int) + dx] = Xc[ok, 2]
+        pipe.process_frame(np.full((2, 2), i, np.float32), depth=depth)
+
+    assert pipe.state == "tracking"
+    est = pipe.positions()
+    gt = world.positions
+    ate = ate_rmse(est, gt, align=True, with_scale=False)   # rigid!
+    assert ate < 0.1, ate
+
+
+class LoopWorld(SyntheticWorld):
+    """Long out-and-back corridor: landmarks spread along the travel
+    direction so early and late keyframes see DISJOINT subsets — the
+    covisibility gate keeps closures suppressed until the camera actually
+    returns to the start."""
+
+    def __init__(self, seed=7, n_half=20, step=0.55):
+        rng = np.random.default_rng(seed)
+        self.rng = rng
+        n_landmarks = 1200
+        travel = step * n_half
+        self.X = np.stack([
+            rng.uniform(-5, 5 + travel, n_landmarks),
+            rng.uniform(-5, 5, n_landmarks),
+            rng.uniform(8, 16, n_landmarks),
+        ], -1)
+        d = rng.standard_normal((n_landmarks, 128)).astype(np.float32)
+        self.codes = d / np.linalg.norm(d, axis=-1, keepdims=True)
+        self.pixel_noise = 0.3
+        self.desc_noise = 0.05
+
+        fwd = [np.array([step * i, 0.02 * np.sin(0.3 * i), 0.0])
+               for i in range(n_half)]
+        path = fwd + fwd[::-1]
+        self.poses = []
+        for t in path:
+            self.poses.append(np.asarray(lie.se3_log(
+                jnp.eye(3), jnp.asarray(t.astype(np.float32)))))
+        self.positions = np.stack(path)
+
+
+def _loop_cfg():
+    return PipelineConfig(
+        sift=SiftConfig(mode="lowe", max_keypoints=KP_CAP),
+        match=MatchConfig(ratio=0.85, max_matches=KP_CAP),
+        ransac=RansacConfig(num_hypotheses=256, inlier_threshold=2.0,
+                            min_inliers=15),
+        ba=BAConfig(max_iterations=8, cg_iterations=30),
+        window_size=4, ba_max_landmarks=2048, ba_max_observations=8192,
+        min_bootstrap_parallax=6.0, kf_min_tracked=80, kf_max_interval=4,
+        min_triangulation_angle_deg=0.5,
+        enable_loop_closure=True, loop_min_inliers=40,
+        max_pose_graph_nodes=64, max_pose_graph_edges=256,
+    )
+
+
+def test_out_and_back_stays_consistent():
+    """Corridor out-and-back: with persistent landmark associations the map
+    itself keeps the loop closed (the covisibility gate correctly suppresses
+    redundant pose-graph churn), and the trajectory returns to the start
+    with tiny ATE and no tracking loss."""
+    world = LoopWorld()
+    frames = {i: world.frame_keypoints(i) for i in range(len(world.poses))}
+    pipe = SfmPipeline(INTR, _loop_cfg(),
+                       frontend=lambda g: frames[int(g[0, 0])])
+    lost = 0
+    for i in range(len(world.poses)):
+        r = pipe.process_frame(np.full((2, 2), i, np.float32))
+        lost += 0 if r["tracked"] else 1
+    assert pipe.state == "tracking"
+    assert lost == 0
+    ate = ate_rmse(pipe.positions(), world.positions, align=True,
+                   with_scale=True)
+    assert ate < 0.05, ate
+
+
+def test_pose_graph_correction_reanchors_map():
+    """Drive the PGO machinery directly: inject rigid drift into the later
+    keyframes (poses + their landmarks), add a ground-truth loop edge, and
+    check the optimizer pulls the trajectory back and re-anchors landmarks
+    consistently (keyframe self-reprojection stays tight)."""
+    world = SyntheticWorld()
+    frames = {i: world.frame_keypoints(i) for i in range(len(world.poses))}
+    pipe = SfmPipeline(INTR, _loop_cfg(),
+                       frontend=lambda g: frames[int(g[0, 0])])
+    for i in range(16):
+        pipe.process_frame(np.full((2, 2), i, np.float32))
+    n = len(pipe.keyframes)
+    assert n >= 4
+
+    true_last = pipe.keyframes[-1].pose.copy()
+
+    # Rigid drift on keyframes >= 2 and the landmarks they created.
+    drift = np.array([0.0, 0.03, 0.0, 0.4, -0.2, 0.1], np.float32)
+    Rd, td = lie.se3_exp(jnp.asarray(drift))
+    Rd, td = np.asarray(Rd), np.asarray(td)
+    for k in range(2, n):
+        R, t = lie.se3_exp(jnp.asarray(pipe.keyframes[k].pose))
+        Rn = Rd @ np.asarray(R)
+        tn = Rd @ np.asarray(t) + td
+        pipe.keyframes[k].pose = np.asarray(
+            lie.se3_log(jnp.asarray(Rn), jnp.asarray(tn)))
+    mask = pipe.lm_ref_kf >= 2
+    pipe.landmarks[mask] = pipe.landmarks[mask] @ Rd.T + td
+
+    # Loop edge carrying the true relative pose kf0 -> last kf.
+    pipe.pose_edges.append(dict(
+        i=0, j=n - 1, kind="loop",
+        z=pipe._rel_pose(pipe.keyframes[0].pose, true_last),
+        w=100.0))
+    pipe._run_pose_graph()
+
+    # Last keyframe pulled back toward its true pose.
+    _, t_fixed = lie.se3_exp(jnp.asarray(pipe.keyframes[-1].pose))
+    _, t_true = lie.se3_exp(jnp.asarray(true_last))
+    assert np.linalg.norm(np.asarray(t_fixed) - np.asarray(t_true)) < 0.15
+
+    # Landmarks moved with their keyframes: self-reprojection stays tight.
+    fx, fy, cx, cy = INTR
+    kf = pipe.keyframes[-1]
+    slots = np.nonzero(kf.kp_lm >= 0)[0]
+    lms = pipe.landmarks[kf.kp_lm[slots]]
+    R, t = lie.se3_exp(jnp.asarray(kf.pose))
+    Xc = (lms - np.asarray(t)) @ np.asarray(R)
+    pred = np.stack([fx * Xc[:, 0] / Xc[:, 2] + cx,
+                     fy * Xc[:, 1] / Xc[:, 2] + cy], -1)
+    uv = np.stack([kf.kp["u"][slots], kf.kp["v"][slots]], -1)
+    err = np.linalg.norm(pred - uv, axis=-1)
+    assert np.median(err[np.isfinite(err)]) < 2.0
 
 
 def test_pipeline_deterministic(world):

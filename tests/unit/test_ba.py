@@ -56,8 +56,15 @@ def test_schur_matvec_matches_dense():
         U[6*c:6*c+6, 6*c:6*c+6] += Jc[o].T @ Jc[o]
         V[3*l:3*l+3, 3*l:3*l+3] += Jl[o].T @ Jl[o]
         W[6*c:6*c+6, 3*l:3*l+3] += Jc[o].T @ Jl[o]
-    U += damping * np.eye(6 * C)
-    V += damping * np.eye(3 * L)
+    # Mirror build_system's relative (Marquardt) damping.
+    for c in range(C):
+        blk = U[6*c:6*c+6, 6*c:6*c+6]
+        d = np.trace(blk) / 6.0
+        blk += (damping * (1.0 + d) + 1e-6 * d) * np.eye(6)
+    for l in range(L):
+        blk = V[3*l:3*l+3, 3*l:3*l+3]
+        d = np.trace(blk) / 3.0
+        blk += (damping * (1.0 + d) + 1e-6 * d) * np.eye(3)
     S = U - W @ np.linalg.inv(V) @ W.T
 
     rng = np.random.default_rng(2)
