@@ -75,7 +75,7 @@ def bench_ba():
     from sift_tpu.io.synthetic import make_scene, pad_observations
     from sift_tpu.utils.timing import chained_time, tree_scalar
 
-    ncam, nlm, cap = (8, 256, 2048) if SMALL else (32, 2048, 16384)
+    ncam, nlm, cap = (8, 256, 2048) if SMALL else (32, 2048, 65536)
     scene = make_scene(np.random.default_rng(2), num_cameras=ncam,
                        num_landmarks=nlm, pose_noise=0.01,
                        landmark_noise=0.05)

@@ -18,6 +18,14 @@ Window radius is static. Pixels outside a keypoint's descriptor support get
 zero weight from the spatial tent functions, so the clamped (never
 out-of-bounds) windows need no masking; support truncation only affects the
 largest-scale keypoints (weight < e^-2 beyond the window corner).
+
+Why not a Pallas kernel (negative result, measured): a fused
+window-DMA + histogram kernel was prototyped, but Mosaic requires VMEM
+slices to be 128-lane-aligned — per-keypoint 48-wide windows would have to
+become 256-wide masked bands, ~5x the VPU work of this path. With
+per-octave keypoint caps the vmapped `dynamic_slice` dispatch overhead
+(~2 us/window) is already amortized below the stage's VPU compute, so the
+XLA formulation here is the faster design on current TPUs.
 """
 
 from __future__ import annotations
