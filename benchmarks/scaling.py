@@ -33,12 +33,15 @@ def main():
     from sift_tpu.io.synthetic import make_scene, pad_observations
     from sift_tpu.utils.timing import chained_time, tree_scalar
 
+    small = bool(int(os.environ.get("BENCH_SMALL", "0")))
     ndev = len(jax.devices())
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= ndev]
-    per_dev_batch = 4
-    h, w = 488, 600
+    per_dev_batch = 1 if small else 4
+    h, w = (128, 160) if small else (488, 600)
     rng = np.random.default_rng(0)
-    cfg = SiftConfig(mode="lowe")
+    cfg = SiftConfig(mode="lowe", octaves=2 if small else 4,
+                     max_keypoints=128 if small else 1024,
+                     max_keypoints_per_octave=128 if small else 512)
 
     base_kfps = None
     for n in sizes:
@@ -66,7 +69,7 @@ def main():
     scene = make_scene(np.random.default_rng(1), num_cameras=16,
                        num_landmarks=1024, pose_noise=0.01,
                        landmark_noise=0.05)
-    scene = pad_observations(scene, 8192)
+    scene = pad_observations(scene, 32768)
     fixed = np.zeros(16, bool)
     fixed[:2] = True
     ba_cfg = BAConfig(max_iterations=3, cg_iterations=30)

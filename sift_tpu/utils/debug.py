@@ -17,7 +17,7 @@ import numpy as np
 def debug_nans(enable: bool = True):
     """Scoped `jax_debug_nans`: computations that produce NaNs raise
     immediately with the offending primitive (expensive; tests/debug only)."""
-    prev = jax.config.read("jax_debug_nans")
+    prev = jax.config.jax_debug_nans
     jax.config.update("jax_debug_nans", enable)
     try:
         yield
