@@ -93,6 +93,22 @@ class TestParityKeypoints:
                                        rtol=1e-3, atol=2e-3,
                                        err_msg=f"descriptor mismatch at {key}")
 
+    def test_subpixel_mode_matches(self):
+        """--subpixel path: blur sigma=1.0 + nearest 2x upsample first
+        (ref sift.cpp:20-21, algorithms.cpp:38-49)."""
+        img = smooth_image(30, 34, seed=5)
+        from sift_tpu.oracle.refsim import refsim_extract
+        ref = refsim_extract(img, subpixel=True)
+        cfg = CFG.replace(subpixel=True)
+        kp = jax.jit(lambda x: extract(x, cfg))(jnp.asarray(img))
+        v = np.asarray(kp.valid)
+        ours = {(int(np.asarray(kp.octave)[i]), int(np.asarray(kp.level)[i]),
+                 int(np.asarray(kp.x)[i]), int(np.asarray(kp.y)[i]))
+                for i in np.nonzero(v)[0]}
+        theirs = {(p.octave, p.level, p.x, p.y) for p in ref}
+        assert ours == theirs
+        assert len(theirs) > 0
+
     def test_buffer_not_saturated(self):
         # the parity guarantee requires the per-octave cap above candidate count
         img = smooth_image(44, 52, seed=0)
