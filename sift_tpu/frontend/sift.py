@@ -114,10 +114,13 @@ def extract_lowe(img: jnp.ndarray, cfg: SiftConfig,
             valid=rep(cand["valid"] & in_bounds) & peak_valid.reshape(-1),
         )
         if with_descriptors:
-            d = descriptors_from_windows(
-                rep(gxw), rep(gyw), rep(oy0), rep(ox0),
-                dup["orientation"], rep(sigma_within), cfg)
-            descs.append(d)
+            # One pass per orientation peak over the SAME windows (no
+            # duplicated (K*P, d, d) materialization); stack order matches
+            # jnp.repeat's k0p0, k0p1, k1p0, ... interleaving.
+            per_peak = [descriptors_from_windows(
+                gxw, gyw, oy0, ox0, peak_oris[:, p], sigma_within, cfg)
+                for p in range(P)]
+            descs.append(jnp.stack(per_peak, axis=1).reshape(K * P, -1))
         for f in fields:
             buffers[f].append(dup[f])
 
