@@ -168,6 +168,10 @@ class PipelineConfig:
     depth_min: float = 0.1
     depth_max: float = 25.0
 
+    # Relocalization after tracking loss.
+    reloc_after_lost: int = 3         # failed frames before attempting
+    reloc_candidates: int = 6         # keyframes probed per attempt
+
     # Loop closure / pose-graph SLAM.
     enable_loop_closure: bool = False
     loop_candidates: int = 4          # old keyframes probed per promotion

@@ -116,6 +116,7 @@ class SfmPipeline:
         self.state = "bootstrap"
         self._frame_idx = -1
         self._frames_since_kf = 0
+        self._frames_lost = 0
 
         # Pose graph: odometry edges between consecutive keyframes plus
         # loop-closure edges; optimized on every accepted closure.
@@ -358,17 +359,18 @@ class SfmPipeline:
                     is_keyframe=True, n_inliers=int(n_inl), state="tracking")
 
     # ------------------------------------------------------------ tracking
-    def _tracking_step(self, kp, depth: Optional[np.ndarray] = None) -> Dict:
-        kf = self.keyframes[-1]
-        m = self._jit_match(jnp.asarray(kf.kp["desc"]),
-                            jnp.asarray(kf.kp["valid"]),
+    def _match_and_localize(self, kp, ref_kf: Keyframe, init_pose):
+        """Match `kp` against a reference keyframe and localize on the 2D-3D
+        correspondences. Returns (pose, inliers, rmse, m, sel, lm_of_match,
+        n_inl)."""
+        m = self._jit_match(jnp.asarray(ref_kf.kp["desc"]),
+                            jnp.asarray(ref_kf.kp["valid"]),
                             jnp.asarray(kp["desc"]),
                             jnp.asarray(kp["valid"]))
         valid = np.asarray(m.valid)
         ia, ib = np.asarray(m.idx_a), np.asarray(m.idx_b)
 
-        # 2D-3D correspondences through the reference keyframe's landmarks.
-        lm_of_match = kf.kp_lm[ia]
+        lm_of_match = ref_kf.kp_lm[ia]
         has_lm = valid & (lm_of_match >= 0)
         cap = self.cfg.match.max_matches
         lms = np.zeros((cap, 3), np.float32)
@@ -381,13 +383,61 @@ class SfmPipeline:
         pvalid[:sel.shape[0]] = True
 
         pose, inliers, rmse = self._jit_localize(
-            self._next_key(), jnp.asarray(kf.pose), jnp.asarray(lms),
+            self._next_key(), jnp.asarray(init_pose), jnp.asarray(lms),
             jnp.asarray(uv), jnp.asarray(pvalid))
         pose = np.asarray(pose)
         inliers = np.asarray(inliers)
-        n_inl = int(inliers.sum())
+        return pose, inliers, float(rmse), m, sel, lm_of_match, \
+            int(inliers.sum())
+
+    def _attempt_relocalization(self, kp):
+        """Probe keyframes across the history for a confident re-fix.
+
+        Returns (ref_kf_index, pose, m, inliers, sel, lm_of_match) or None.
+        """
+        cfg = self.cfg
+        n = len(self.keyframes)
+        cand = np.unique(np.linspace(0, n - 1,
+                                     min(cfg.reloc_candidates, n)).astype(int))
+        for oi in cand[::-1]:            # recent first
+            ref = self.keyframes[oi]
+            pose, inl, rmse, m, sel, lm_of, n_inl = \
+                self._match_and_localize(kp, ref, ref.pose)
+            if n_inl >= cfg.keyframe_min_inliers and \
+                    rmse <= 2.0 * cfg.loop_max_rmse:
+                if self.logger is not None:
+                    self.logger.log("relocalized", ref_kf=int(oi),
+                                    inliers=n_inl, rmse=rmse)
+                return int(oi), pose, m, inl, sel, lm_of
+        return None
+
+    def _tracking_step(self, kp, depth: Optional[np.ndarray] = None) -> Dict:
+        kf = self.keyframes[-1]
+        pose, inliers, rmse, m, sel, lm_of_match, n_inl = \
+            self._match_and_localize(kp, kf, kf.pose)
         tracked = n_inl >= self.cfg.keyframe_min_inliers // 2
         self._frames_since_kf += 1
+
+        if not tracked:
+            self._frames_lost += 1
+            if self._frames_lost >= self.cfg.reloc_after_lost:
+                hit = self._attempt_relocalization(kp)
+                if hit is not None:
+                    oi, pose, m, inliers, sel, lm_of_match = hit
+                    n_inl = int(inliers.sum())
+                    tracked = True
+                    # Promote immediately against the reloc reference so
+                    # subsequent frames track from a fresh keyframe.
+                    self._promote_keyframe(kp, pose, m, inliers, sel,
+                                           lm_of_match, depth,
+                                           ref_kf=self.keyframes[oi])
+                    self._frames_since_kf = 0
+                    self._frames_lost = 0
+                    return dict(pose=self.keyframes[-1].pose, tracked=True,
+                                is_keyframe=True, n_inliers=n_inl,
+                                rmse=rmse, state=self.state)
+        else:
+            self._frames_lost = 0
 
         is_kf = tracked and (
             n_inl < self.cfg.kf_min_tracked or
@@ -402,8 +452,11 @@ class SfmPipeline:
                     state=self.state)
 
     def _promote_keyframe(self, kp, pose, m, inliers, sel, lm_of_match,
-                          depth: Optional[np.ndarray] = None):
-        kf_prev = self.keyframes[-1]
+                          depth: Optional[np.ndarray] = None,
+                          ref_kf: Optional[Keyframe] = None):
+        """`ref_kf`: the keyframe the match `m` was computed against
+        (defaults to the last keyframe; relocalization passes its hit)."""
+        kf_prev = ref_kf if ref_kf is not None else self.keyframes[-1]
         valid = np.asarray(m.valid)
         ia, ib = np.asarray(m.idx_a), np.asarray(m.idx_b)
 

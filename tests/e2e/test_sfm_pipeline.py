@@ -318,6 +318,43 @@ def test_pose_graph_correction_reanchors_map():
     assert np.median(err[np.isfinite(err)]) < 2.0
 
 
+def test_relocalization_after_blackout(world):
+    """Blank frames (occlusion/motion-blur analog) kill tracking; the
+    pipeline must re-fix against the keyframe history and keep a sane
+    trajectory afterward."""
+    from sift_tpu.types import Keypoints
+    from sift_tpu.slam.pipeline import SfmPipeline
+
+    cfg = _loop_cfg().replace(enable_loop_closure=False)
+    n_frames = len(world.poses)
+    blank = Keypoints(
+        x=jnp.zeros(KP_CAP), y=jnp.zeros(KP_CAP),
+        octave=jnp.zeros(KP_CAP, jnp.int32),
+        level=jnp.zeros(KP_CAP, jnp.int32),
+        scale=jnp.ones(KP_CAP), score=jnp.zeros(KP_CAP),
+        orientation=jnp.zeros(KP_CAP),
+        valid=jnp.zeros(KP_CAP, bool),
+        desc=jnp.zeros((KP_CAP, 128)),
+    )
+    blackout = set(range(14, 18))
+    frames = {i: (blank if i in blackout else world.frame_keypoints(i))
+              for i in range(n_frames)}
+    pipe = SfmPipeline(INTR, cfg, frontend=lambda g: frames[int(g[0, 0])])
+    results = [pipe.process_frame(np.full((2, 2), i, np.float32))
+               for i in range(n_frames)]
+
+    # Lost during the blackout...
+    assert not any(r["tracked"] for i, r in enumerate(results)
+                   if i in blackout)
+    # ...but recovered within the reloc budget afterwards.
+    post = [r["tracked"] for i, r in enumerate(results) if i >= 21]
+    assert np.mean(post) > 0.9, post
+    # Post-recovery trajectory is consistent with ground truth.
+    est = pipe.positions()[21:]
+    gt = world.positions[21:]
+    assert ate_rmse(est, gt, align=True, with_scale=True) < 0.1
+
+
 def test_pipeline_deterministic(world):
     traj = []
     for _ in range(2):
