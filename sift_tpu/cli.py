@@ -181,6 +181,21 @@ def cmd_match(args) -> int:
                               kps[1].desc, kps[1].valid, mcfg)
     n = int(np.asarray(m.valid).sum())
     print(f"{n} matches (ratio={mcfg.ratio}, mutual={mcfg.mutual})")
+
+    # Geometric verification (BASELINE config #2: homography RANSAC).
+    import jax
+    from sift_tpu.matching.matcher import matched_coords
+    from sift_tpu.geometry.homography import ransac_homography
+    from sift_tpu.config import RansacConfig
+
+    pa, pb, valid = matched_coords(kps[0], kps[1], m)
+    est = ransac_homography(jax.random.PRNGKey(0), pa, pb, valid,
+                            RansacConfig(inlier_threshold=3.0))
+    print(f"homography-verified inliers: {int(est.num_inliers)} "
+          f"(success={bool(est.success)})")
+    if bool(est.success):
+        H = np.array(est.model)
+        print("H =\n", np.round(H / H[2, 2], 4))
     return 0
 
 

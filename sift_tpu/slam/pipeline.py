@@ -285,6 +285,61 @@ class SfmPipeline:
         return dict(pose=pose0, tracked=True, is_keyframe=True,
                     n_inliers=int(slots.shape[0]), state="tracking")
 
+    # ------------------------------------------------------ save / resume
+    def save_map(self, path: str) -> None:
+        """Serialize the full SLAM state (keyframes, landmarks, pose graph)
+        to one .npz — the checkpoint/resume path for resumable incremental
+        SfM (SURVEY.md §5)."""
+        arrays = dict(
+            landmarks=self.landmarks,
+            lm_ref_kf=self.lm_ref_kf,
+            intrinsics=self.K,
+            prng_key=np.asarray(self._key),
+            meta=np.asarray([self._frame_idx, self._frames_since_kf,
+                             self._frames_lost, self.num_loop_closures,
+                             1 if self.state == "tracking" else 0]),
+            n_keyframes=np.asarray(len(self.keyframes)),
+            edges_i=np.asarray([e["i"] for e in self.pose_edges], np.int32),
+            edges_j=np.asarray([e["j"] for e in self.pose_edges], np.int32),
+            edges_z=(np.stack([e["z"] for e in self.pose_edges])
+                     if self.pose_edges else np.zeros((0, 6), np.float32)),
+            edges_w=np.asarray([e["w"] for e in self.pose_edges], np.float32),
+            edges_loop=np.asarray(
+                [e.get("kind") == "loop" for e in self.pose_edges], bool),
+        )
+        for i, kf in enumerate(self.keyframes):
+            arrays[f"kf{i}_pose"] = kf.pose
+            arrays[f"kf{i}_frame"] = np.asarray(kf.frame_idx)
+            arrays[f"kf{i}_lm"] = kf.kp_lm
+            for field in ("x", "y", "valid", "desc", "octave", "u", "v"):
+                arrays[f"kf{i}_{field}"] = kf.kp[field]
+        np.savez_compressed(path, **arrays)
+
+    def load_map(self, path: str) -> None:
+        """Restore state saved by `save_map` (config must match)."""
+        z = np.load(path, allow_pickle=False)
+        self.landmarks = z["landmarks"]
+        self.lm_ref_kf = z["lm_ref_kf"]
+        self._key = jnp.asarray(z["prng_key"])
+        meta = z["meta"]
+        self._frame_idx = int(meta[0])
+        self._frames_since_kf = int(meta[1])
+        self._frames_lost = int(meta[2])
+        self.num_loop_closures = int(meta[3])
+        self.state = "tracking" if meta[4] else "bootstrap"
+        self.keyframes = []
+        for i in range(int(z["n_keyframes"])):
+            kp = {f: z[f"kf{i}_{f}"]
+                  for f in ("x", "y", "valid", "desc", "octave", "u", "v")}
+            kf = Keyframe(int(z[f"kf{i}_frame"]), z[f"kf{i}_pose"], kp)
+            kf.kp_lm = z[f"kf{i}_lm"]
+            self.keyframes.append(kf)
+        self.pose_edges = [
+            dict(i=int(z["edges_i"][k]), j=int(z["edges_j"][k]),
+                 z=z["edges_z"][k], w=float(z["edges_w"][k]),
+                 kind="loop" if z["edges_loop"][k] else "odom")
+            for k in range(z["edges_i"].shape[0])]
+
     def positions(self) -> np.ndarray:
         """Trajectory camera centers (F, 3) for evaluation."""
         out = []
