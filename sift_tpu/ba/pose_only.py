@@ -25,7 +25,6 @@ _EPS = 1e-12
 
 def _project_rt(R, t, intrinsics, X):
     """World-from-camera (R, t); X (..., 3) world -> pixel uv, depth."""
-    Rt = jnp.swapaxes(R, -1, -2)
     x_c = (X - t) @ R          # == (R^T (X - t)) batched over leading axes
     z = x_c[..., 2]
     inv_z = 1.0 / jnp.where(jnp.abs(z) < _EPS, _EPS, z)

@@ -28,7 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from sift_tpu.config import PipelineConfig, SiftConfig
+from sift_tpu.config import PipelineConfig
 from sift_tpu.types import Keypoints
 from sift_tpu.frontend.sift import extract
 from sift_tpu.matching.matcher import match_descriptors
