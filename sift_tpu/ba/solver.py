@@ -115,3 +115,12 @@ def run_ba_jit(poses, intrinsics, landmarks, obs_cam, obs_lm, obs_uv,
                obs_valid, cfg: BAConfig, fixed_cam_mask) -> BAState:
     return run_ba(poses, intrinsics, landmarks, obs_cam, obs_lm, obs_uv,
                   obs_valid, cfg, fixed_cam_mask)
+
+
+def run_ba_map(state, cfg: BAConfig, fixed_cam_mask,
+               axis_name: Optional[str] = None):
+    """Optimize a `sift_tpu.types.MapState`; returns (new_state, BAState)."""
+    st = run_ba(state.poses, state.intrinsics, state.landmarks,
+                state.obs_cam, state.obs_lm, state.obs_uv, state.obs_valid,
+                cfg, fixed_cam_mask, axis_name)
+    return state.replace(poses=st.poses, landmarks=st.landmarks), st

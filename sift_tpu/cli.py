@@ -257,10 +257,19 @@ def cmd_sfm(args) -> int:
     pipe = SfmPipeline(seq.intrinsics, PipelineConfig(), logger=logger)
     use_depth = args.format == "tum" and not args.no_depth
     t0 = time.perf_counter()
-    for frame in seq:
-        r = pipe.process_frame(frame.gray,
-                               depth=frame.depth if use_depth else None)
-        if args.verbose:
+    # Batched extraction keeps the device busy (see
+    # SfmPipeline.process_sequence); --batch 1 falls back to per-frame.
+    if args.batch > 1:
+        results = pipe.process_sequence(
+            [f.gray for f in seq],
+            depths=[f.depth for f in seq] if use_depth else None,
+            batch=args.batch)
+    else:
+        results = [pipe.process_frame(f.gray,
+                                      depth=f.depth if use_depth else None)
+                   for f in seq]
+    if args.verbose:
+        for r in results:
             print(f"frame {r['frame_idx']}: tracked={r['tracked']} "
                   f"kf={r['is_keyframe']} inliers={r['n_inliers']}")
     dt = time.perf_counter() - t0
@@ -327,6 +336,8 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--metrics", help="JSONL metrics output path")
     ps.add_argument("--no-depth", action="store_true",
                     help="ignore TUM depth maps (pure monocular)")
+    ps.add_argument("--batch", type=int, default=8,
+                    help="frontend extraction batch size (1 = per-frame)")
     ps.add_argument("--traj", help="write trajectory positions to this file")
     ps.add_argument("--verbose", action="store_true")
     ps.set_defaults(func=cmd_sfm)

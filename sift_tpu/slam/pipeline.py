@@ -285,6 +285,57 @@ class SfmPipeline:
         return dict(pose=pose0, tracked=True, is_keyframe=True,
                     n_inliers=int(slots.shape[0]), state="tracking")
 
+    def process_sequence(self, frames, depths=None, batch: int = 8):
+        """Process a frame sequence with batched extraction.
+
+        Per-frame `process_frame` dispatches one image at a time; on TPU
+        the extractor is massively underutilized that way. This path runs
+        the frontend over `batch`-frame chunks (one vmapped program, one
+        dispatch) and feeds the host-side tracking logic from the
+        precomputed keypoint buffers. Same results, much higher device
+        utilization.
+
+        frames: list/sequence of (H, W) arrays (equal shapes).
+        depths: optional matching sequence of depth maps.
+        Returns the list of per-frame result dicts.
+        """
+        assert self.frontend is None, \
+            "process_sequence uses the built-in extractor"
+        cfg = self.cfg
+
+        @jax.jit
+        def _extract_batch(imgs):
+            return jax.vmap(
+                lambda im: extract(im, cfg.sift, with_descriptors=True))(imgs)
+
+        results = []
+        n = len(frames)
+        for start in range(0, n, batch):
+            chunk = [np.asarray(f, np.float32)
+                     for f in frames[start:start + batch]]
+            pad = batch - len(chunk)
+            imgs = np.stack(chunk + [chunk[-1]] * pad)
+            kp_batch = _extract_batch(jnp.asarray(imgs))
+            kp_host = jax.device_get(kp_batch)
+            for bi in range(len(chunk)):
+                kp_i = jax.tree.map(lambda a: a[bi], kp_host)
+                kp = _np_kp(kp_i)
+                self._frame_idx += 1
+                depth = depths[start + bi] if depths is not None else None
+                if self.state == "bootstrap":
+                    out = (self._bootstrap_rgbd(kp, depth) if depth is not None
+                           else self._bootstrap_step(kp))
+                else:
+                    out = self._tracking_step(kp, depth)
+                out["frame_idx"] = self._frame_idx
+                self.trajectory.append(out)
+                results.append(out)
+                if self.logger is not None:
+                    self.logger.log("frame", **{
+                        k: v for k, v in out.items()
+                        if not isinstance(v, np.ndarray)})
+        return results
+
     # ------------------------------------------------------ save / resume
     def save_map(self, path: str) -> None:
         """Serialize the full SLAM state (keyframes, landmarks, pose graph)
@@ -381,12 +432,18 @@ class SfmPipeline:
         R, t, X, good, n_inl, success = self._jit_bootstrap(
             self._next_key(), jnp.asarray(pa, jnp.float32),
             jnp.asarray(pb, jnp.float32), jnp.asarray(valid))
-        if not bool(success):
-            return dict(pose=pose0, tracked=False, is_keyframe=False,
-                        n_inliers=int(n_inl), state=self.state)
-
         R, t, X, good = np.asarray(R), np.asarray(t), np.asarray(X), \
             np.asarray(good)
+        # Acceptance gate: beyond RANSAC success, the *map* must be healthy —
+        # most epipolar inliers must triangulate in front of both cameras
+        # with low reprojection error. Near-degenerate (planar-ish) data can
+        # hand RANSAC a wrong-basin essential whose mirror map dies on the
+        # next frame; rejecting here just retries the bootstrap later.
+        n_good = int(good.sum())
+        if not bool(success) or n_good < max(
+                self.cfg.min_bootstrap_matches // 2, int(0.5 * int(n_inl))):
+            return dict(pose=pose0, tracked=False, is_keyframe=False,
+                        n_inliers=int(n_inl), state=self.state)
         # World = first camera; second pose world-from-camera = (R^T, -R^T t).
         pose1 = _se3_log_np(R.T, -R.T @ t)
 

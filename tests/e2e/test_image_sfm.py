@@ -96,6 +96,27 @@ def test_monocular_from_pixels(frames):
 
 
 @pytest.mark.slow
+def test_process_sequence_matches_per_frame(frames):
+    """Batched-extraction sequence path tracks the same trajectory as the
+    per-frame path. (Raw positions can differ: vmapped extraction has ~1e-5
+    float noise, which can shift WHICH frame passes the bootstrap gate and
+    therefore the monocular gauge — so compare via aligned ATE, the metric
+    that is invariant to the gauge.)"""
+    gt = np.stack([[STEP * i, 0.0, 0.0] for i in range(N_FRAMES)])
+
+    a = SfmPipeline(INTR, _cfg())
+    for f in frames:
+        a.process_frame(f)
+    b = SfmPipeline(INTR, _cfg())
+    b.process_sequence(list(frames), batch=4)
+
+    from sift_tpu.eval.ate import ate_rmse
+    assert a.state == "tracking" and b.state == "tracking"
+    assert ate_rmse(a.positions(), gt, align=True, with_scale=True) < 0.05
+    assert ate_rmse(b.positions(), gt, align=True, with_scale=True) < 0.05
+
+
+@pytest.mark.slow
 def test_rgbd_from_pixels_metric(frames):
     depth = _depth_map()
     pipe = SfmPipeline(INTR, _cfg())

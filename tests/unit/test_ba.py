@@ -131,6 +131,30 @@ def test_ba_robust_to_outliers():
                                atol=1e-2)
 
 
+def test_run_ba_map_wrapper():
+    """MapState round-trip through the optimizer."""
+    from sift_tpu.types import MapState
+    from sift_tpu.ba.solver import run_ba_map
+
+    scene = make_scene(np.random.default_rng(9), num_cameras=4,
+                       num_landmarks=60, pose_noise=0.01,
+                       landmark_noise=0.05)
+    scene = pad_observations(scene, 512)
+    s = _to_jnp(scene)
+    state = MapState(
+        poses=s["poses_init"], intrinsics=s["intrinsics"],
+        landmarks=s["landmarks_init"], obs_cam=s["obs_cam"],
+        obs_lm=s["obs_lm"], obs_uv=s["obs_uv"],
+        pose_valid=jnp.ones(4, bool),
+        landmark_valid=jnp.ones(60, bool),
+        obs_valid=s["obs_valid"])
+    new_state, st = run_ba_map(state, BAConfig(max_iterations=10),
+                               _fixed_mask(4))
+    assert float(st.rmse) < 0.05
+    np.testing.assert_allclose(np.asarray(new_state.poses),
+                               np.asarray(st.poses))
+
+
 def test_masked_observations_are_inert():
     """Flipping padding contents must not change the result (static-shape
     masking invariant)."""
