@@ -85,3 +85,83 @@ def ransac_homography(key: jax.Array, pa: jnp.ndarray, pb: jnp.ndarray,
         cfg=cfg,
         refit_fn=fit_homography,
     )
+
+
+def decompose_homography(H: jnp.ndarray, na: jnp.ndarray, nb: jnp.ndarray,
+                         weights: jnp.ndarray):
+    """Faugeras decomposition of a *calibrated* homography into (R, t, n).
+
+    H relates normalized coordinates: x_b ~ H x_a for points on a plane
+    n^T X = d (camera-A frame); H = R + t n^T / d. Eight candidate
+    (R, t, n) triples arise from the SVD construction; the winner is picked
+    by cheirality (triangulated points in front of both cameras) — the same
+    masked-reduction pattern as `decompose_essential`, so the whole
+    function jits and runs branch-free.
+
+    Returns (R (3,3), t (3,) |t|=1 (or 0 for pure rotation), n (3,),
+    num_good (int32)).
+    """
+    from sift_tpu.geometry.triangulation import triangulate_dlt
+
+    U, D, Vt = jnp.linalg.svd(H)
+    V = Vt.T
+    s = jnp.linalg.det(U) * jnp.linalg.det(V)
+    d1, d2, d3 = D[0], D[1], D[2]
+
+    eps = 1e-9
+    x1 = jnp.sqrt(jnp.maximum((d1 * d1 - d2 * d2) /
+                              jnp.maximum(d1 * d1 - d3 * d3, eps), 0.0))
+    x3 = jnp.sqrt(jnp.maximum((d2 * d2 - d3 * d3) /
+                              jnp.maximum(d1 * d1 - d3 * d3, eps), 0.0))
+
+    # Case d'2 > 0 (translation "across" the plane normal).
+    sin_t = jnp.sqrt(jnp.maximum((d1 * d1 - d2 * d2) * (d2 * d2 - d3 * d3),
+                                 0.0)) / jnp.maximum((d1 + d3) * d2, eps)
+    cos_t = (d2 * d2 + d1 * d3) / jnp.maximum((d1 + d3) * d2, eps)
+    # Case d'2 < 0 (reflection branch).
+    sin_p = jnp.sqrt(jnp.maximum((d1 * d1 - d2 * d2) * (d2 * d2 - d3 * d3),
+                                 0.0)) / jnp.maximum(jnp.abs(d1 - d3) * d2, eps)
+    cos_p = (d1 * d3 - d2 * d2) / jnp.maximum(jnp.abs(d1 - d3) * d2, eps)
+
+    Rs, ts, ns = [], [], []
+    for e1 in (1.0, -1.0):
+        for e3 in (1.0, -1.0):
+            st = e1 * e3 * sin_t
+            Rp = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0],
+                              [0.0, 0.0, 1.0]])
+            Rp = Rp.at[0, 0].set(cos_t).at[0, 2].set(-st)
+            Rp = Rp.at[2, 0].set(st).at[2, 2].set(cos_t)
+            tp = (d1 - d3) * jnp.asarray([e1 * x1, 0.0, -e3 * x3])
+            np_ = jnp.asarray([e1 * x1, 0.0, e3 * x3])
+            Rs.append(s * U @ Rp @ Vt)
+            ts.append(U @ tp)
+            ns.append(V @ np_)
+
+            sp = e1 * e3 * sin_p
+            Rn = jnp.zeros((3, 3))
+            Rn = Rn.at[0, 0].set(cos_p).at[0, 2].set(sp)
+            Rn = Rn.at[1, 1].set(-1.0)
+            Rn = Rn.at[2, 0].set(sp).at[2, 2].set(-cos_p)
+            tn = (d1 + d3) * jnp.asarray([e1 * x1, 0.0, e3 * x3])
+            Rs.append(s * U @ Rn @ Vt)
+            ts.append(U @ tn)
+            ns.append(V @ np_)
+
+    Rs = jnp.stack(Rs)
+    ts = jnp.stack(ts)
+    ns = jnp.stack(ns)
+    norms = jnp.linalg.norm(ts, axis=-1, keepdims=True)
+    ts = ts / jnp.maximum(norms, eps)
+
+    def count_good(R, t):
+        P1 = jnp.concatenate([jnp.eye(3, dtype=H.dtype),
+                              jnp.zeros((3, 1), H.dtype)], axis=1)
+        P2 = jnp.concatenate([R, t[:, None]], axis=1)
+        X = triangulate_dlt(P1, P2, na, nb)
+        za = X[:, 2]
+        zb = (X @ R.T + t)[:, 2]
+        return jnp.sum(jnp.where(weights > 0, (za > 0) & (zb > 0), False))
+
+    counts = jax.vmap(count_good)(Rs, ts)
+    best = jnp.argmax(counts)
+    return Rs[best], ts[best], ns[best], counts[best].astype(jnp.int32)

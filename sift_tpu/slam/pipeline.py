@@ -146,22 +146,45 @@ class SfmPipeline:
 
         @jax.jit
         def _bootstrap(key, pa, pb, valid):
-            # Normalized coordinates for the essential path.
+            """Two-view initialization with H-vs-E model selection
+            (ORB-SLAM-style): planar/low-parallax scenes make the essential
+            matrix degenerate, so both models are fitted and the one with
+            clearly dominant support wins. Branch-free: both paths compute,
+            `jnp.where` selects."""
+            from sift_tpu.geometry.homography import (
+                ransac_homography, decompose_homography)
+
+            ke, kh = jax.random.split(key)
             na = jnp.stack([(pa[:, 0] - cx) / fx, (pa[:, 1] - cy) / fy], -1)
             nb = jnp.stack([(pb[:, 0] - cx) / fx, (pb[:, 1] - cy) / fy], -1)
-            R, t, est = estimate_relative_pose(key, na, nb, valid,
-                                               cfg.ransac, focal=focal)
+
+            Re, te, est_e = estimate_relative_pose(ke, na, nb, valid,
+                                                   cfg.ransac, focal=focal)
+            cfg_h = cfg.ransac.replace(
+                inlier_threshold=cfg.ransac.inlier_threshold / focal)
+            est_h = ransac_homography(kh, na, nb, valid, cfg_h)
+            Rh, th, _, _ = decompose_homography(
+                est_h.model, na, nb, est_h.inliers.astype(jnp.float32))
+
+            use_h = est_h.num_inliers.astype(jnp.float32) > \
+                1.2 * est_e.num_inliers.astype(jnp.float32)
+            R = jnp.where(use_h, Rh, Re)
+            t = jnp.where(use_h, th, te)
+            inliers = jnp.where(use_h, est_h.inliers, est_e.inliers)
+            n_inl = jnp.where(use_h, est_h.num_inliers, est_e.num_inliers)
+            success = jnp.where(use_h, est_h.success, est_e.success)
+
             P1 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], 1)
             P2 = jnp.concatenate([R, t[:, None]], 1)
             X = triangulate_dlt(P1, P2, na, nb)       # world = camera A
             za = X[:, 2]
             zb = (X @ R.T + t)[:, 2]
-            good = est.inliers & (za > 1e-3) & (zb > 1e-3)
+            good = inliers & (za > 1e-3) & (zb > 1e-3)
             # Reprojection sanity in pixels (view A).
             ra = (X[:, :2] / jnp.maximum(za[:, None], 1e-6) - na)
             err_px = jnp.linalg.norm(ra, axis=-1) * focal
             good &= err_px < cfg.max_reproj_error_px
-            return R, t, X, good, est.num_inliers, est.success
+            return R, t, X, good, n_inl, success
 
         @jax.jit
         def _localize(key, pose_init, lms, uv, valid):

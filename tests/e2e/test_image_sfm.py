@@ -116,6 +116,36 @@ def test_process_sequence_matches_per_frame(frames):
     assert ate_rmse(b.positions(), gt, align=True, with_scale=True) < 0.05
 
 
+def _render_planar(tx: float):
+    """Single plane at Z_TOP (distinct textures top/bottom, same depth) — a
+    scene where the essential model is degenerate and bootstrap must go
+    through the homography path."""
+    t1, t2 = _textures()
+    shift = FX * tx / Z_TOP
+
+    def sample(tex):
+        cols = np.clip(np.arange(W) + shift + 40.0, 0, tex.shape[1] - 2)
+        c0 = np.floor(cols).astype(int)
+        f = cols - c0
+        return tex[:, c0] * (1 - f) + tex[:, c0 + 1] * f
+
+    return np.concatenate([sample(t1), sample(t2)],
+                          axis=0)[:H].astype(np.float32)
+
+
+@pytest.mark.slow
+def test_planar_scene_bootstraps_via_homography():
+    frames = [_render_planar(STEP * i) for i in range(N_FRAMES)]
+    pipe = SfmPipeline(INTR, _cfg())
+    for f in frames:
+        pipe.process_frame(f)
+    assert pipe.state == "tracking", [r["state"] for r in pipe.trajectory]
+    gt = np.stack([[STEP * i, 0.0, 0.0] for i in range(N_FRAMES)])
+    from sift_tpu.eval.ate import ate_rmse
+    ate = ate_rmse(pipe.positions(), gt, align=True, with_scale=True)
+    assert ate < 0.08, ate
+
+
 @pytest.mark.slow
 def test_rgbd_from_pixels_metric(frames):
     depth = _depth_map()
