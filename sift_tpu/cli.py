@@ -242,31 +242,36 @@ def cmd_sfm(args) -> int:
     from sift_tpu.eval.ate import ate_rmse
     from sift_tpu.utils.metrics import MetricsLogger
 
+    use_stereo = False
     if args.format == "tum":
         seq = load_tum_rgbd(args.path, max_frames=args.max_frames,
                             stride=args.stride)
     elif args.format == "kitti":
         seq = load_kitti_odometry(args.path, sequence=args.sequence,
                                   max_frames=args.max_frames,
-                                  stride=args.stride)
+                                  stride=args.stride, stereo=args.stereo)
+        use_stereo = args.stereo and seq.baseline is not None and \
+            any(f.gray_right is not None for f in seq)
     else:
         print(f"unknown format {args.format}", file=sys.stderr)
         return 2
 
     logger = MetricsLogger(args.metrics) if args.metrics else None
-    pipe = SfmPipeline(seq.intrinsics, PipelineConfig(), logger=logger)
+    pipe = SfmPipeline(seq.intrinsics, PipelineConfig(), logger=logger,
+                       stereo_baseline=seq.baseline if use_stereo else None)
     use_depth = args.format == "tum" and not args.no_depth
     t0 = time.perf_counter()
     # Batched extraction keeps the device busy (see
     # SfmPipeline.process_sequence); --batch 1 falls back to per-frame.
-    if args.batch > 1:
+    if args.batch > 1 and not use_stereo:
         results = pipe.process_sequence(
             [f.gray for f in seq],
             depths=[f.depth for f in seq] if use_depth else None,
             batch=args.batch)
     else:
         results = [pipe.process_frame(f.gray,
-                                      depth=f.depth if use_depth else None)
+                                      depth=f.depth if use_depth else None,
+                                      right=f.gray_right if use_stereo else None)
                    for f in seq]
     if args.verbose:
         for r in results:
@@ -279,11 +284,12 @@ def cmd_sfm(args) -> int:
 
     gt = seq.gt_positions()
     if gt is not None and len(pipe.trajectory) == gt.shape[0]:
-        # RGB-D trajectories are metric (rigid alignment); monocular ones
-        # are scale-free (similarity alignment).
+        # RGB-D/stereo trajectories are metric (rigid alignment); monocular
+        # ones are scale-free (similarity alignment).
+        metric = use_depth or use_stereo
         ate = ate_rmse(pipe.positions(), gt, align=True,
-                       with_scale=not use_depth)
-        kind = "se3" if use_depth else "sim3"
+                       with_scale=not metric)
+        kind = "se3" if metric else "sim3"
         print(f"ATE RMSE ({kind}-aligned): {ate:.4f} m")
     if args.traj:
         np.savetxt(args.traj, pipe.positions())
@@ -338,6 +344,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="ignore TUM depth maps (pure monocular)")
     ps.add_argument("--batch", type=int, default=8,
                     help="frontend extraction batch size (1 = per-frame)")
+    ps.add_argument("--stereo", action="store_true",
+                    help="KITTI: use image_1 for stereo depth (metric scale)")
     ps.add_argument("--traj", help="write trajectory positions to this file")
     ps.add_argument("--verbose", action="store_true")
     ps.set_defaults(func=cmd_sfm)

@@ -29,6 +29,7 @@ from sift_tpu.frontend.pyramid import build_pyramid
 from sift_tpu.frontend.extrema import detect_extrema_octave
 from sift_tpu.frontend.refine import refine_octave_lowe
 from sift_tpu.frontend.windows import (
+    R_DESC,
     R_ORI,
     gather_gradient_windows,
     orientation_from_windows,
@@ -81,7 +82,6 @@ def extract_lowe(img: jnp.ndarray, cfg: SiftConfig,
         # orientation histogram and (both) descriptors — see windows.py.
         # Tiny top octaves clamp the window to fit (or drop out entirely
         # below the orientation radius).
-        from sift_tpu.frontend.windows import R_DESC
         r_eff = min(R_DESC, H // 2, W // 2)
         if r_eff < R_ORI:
             K = cand["x"].shape[0]

@@ -50,6 +50,7 @@ class Frame:
     timestamp: float
     gray: np.ndarray                      # (H, W) float32 [0, 255]
     depth: Optional[np.ndarray] = None    # (H, W) float32 meters (TUM)
+    gray_right: Optional[np.ndarray] = None  # rectified right (KITTI stereo)
     gt_pose: Optional[np.ndarray] = None  # (4, 4) world-from-camera
 
 
@@ -58,6 +59,7 @@ class Sequence:
     frames: List[Frame]
     intrinsics: Tuple[float, float, float, float]
     name: str = ""
+    baseline: Optional[float] = None      # stereo baseline, meters
 
     def __len__(self):
         return len(self.frames)
@@ -172,24 +174,39 @@ def load_tum_rgbd(seq_dir: str,
                     name=os.path.basename(os.path.normpath(seq_dir)))
 
 
-def _read_kitti_calib(path: str) -> Tuple[float, float, float, float]:
-    """P0 row of calib.txt -> (fx, fy, cx, cy)."""
+def _read_kitti_calib(path: str):
+    """calib.txt -> ((fx, fy, cx, cy), stereo_baseline_m or None).
+
+    P0 is the left gray camera; P1's fourth column is -fx*baseline for the
+    right gray camera of the rectified pair.
+    """
+    intr, baseline = None, None
     with open(path) as fh:
         for line in fh:
             if line.startswith("P0:"):
                 v = [float(x) for x in line.split()[1:]]
-                return (v[0], v[5], v[2], v[6])
-    raise ValueError(f"no P0 entry in {path}")
+                intr = (v[0], v[5], v[2], v[6])
+            elif line.startswith("P1:"):
+                v = [float(x) for x in line.split()[1:]]
+                if v[0] != 0:
+                    baseline = -v[3] / v[0]
+    if intr is None:
+        raise ValueError(f"no P0 entry in {path}")
+    return intr, baseline
 
 
 def load_kitti_odometry(root: str, sequence: str = "00",
                         max_frames: Optional[int] = None,
-                        stride: int = 1) -> Sequence:
-    """Load a KITTI odometry sequence (grayscale left camera, image_0)."""
+                        stride: int = 1,
+                        stereo: bool = False) -> Sequence:
+    """Load a KITTI odometry sequence (grayscale left camera, image_0;
+    `stereo=True` also loads image_1 right frames)."""
     seq_dir = os.path.join(root, "sequences", sequence)
     img_dir = os.path.join(seq_dir, "image_0")
+    right_dir = os.path.join(seq_dir, "image_1")
     files = sorted(f for f in os.listdir(img_dir) if f.endswith(".png"))
-    intrinsics = _read_kitti_calib(os.path.join(seq_dir, "calib.txt"))
+    intrinsics, baseline = _read_kitti_calib(
+        os.path.join(seq_dir, "calib.txt"))
 
     poses_path = os.path.join(root, "poses", sequence + ".txt")
     gt_poses = []
@@ -204,10 +221,15 @@ def load_kitti_odometry(root: str, sequence: str = "00",
     frames = []
     for i in range(0, len(files), stride):
         gray = _load_gray(os.path.join(img_dir, files[i]))
+        gray_r = None
+        if stereo:
+            rp = os.path.join(right_dir, files[i])
+            if os.path.exists(rp):
+                gray_r = _load_gray(rp)
         gtp = gt_poses[i] if i < len(gt_poses) else None
         frames.append(Frame(index=len(frames), timestamp=float(i) * 0.1,
-                            gray=gray, gt_pose=gtp))
+                            gray=gray, gray_right=gray_r, gt_pose=gtp))
         if max_frames is not None and len(frames) >= max_frames:
             break
     return Sequence(frames=frames, intrinsics=intrinsics,
-                    name=f"kitti-{sequence}")
+                    name=f"kitti-{sequence}", baseline=baseline)

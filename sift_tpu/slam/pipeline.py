@@ -99,14 +99,16 @@ class SfmPipeline:
 
     def __init__(self, intrinsics, cfg: Optional[PipelineConfig] = None,
                  seed: int = 0, logger: Optional[MetricsLogger] = None,
-                 frontend=None):
+                 frontend=None, stereo_baseline: Optional[float] = None):
         """`frontend`: optional callable gray -> Keypoints replacing the SIFT
         extractor (tests inject synthetic keypoints; a learned frontend could
-        drop in the same way)."""
+        drop in the same way). `stereo_baseline`: meters, enables the
+        rectified-stereo depth path (`process_frame(..., right=...)`)."""
         self.cfg = cfg or PipelineConfig()
         self.K = np.asarray(intrinsics, np.float32)    # fx, fy, cx, cy
         self.logger = logger
         self.frontend = frontend
+        self.stereo_baseline = stereo_baseline
         self._key = jax.random.PRNGKey(seed)
 
         self.keyframes: List[Keyframe] = []
@@ -140,6 +142,17 @@ class SfmPipeline:
         @jax.jit
         def _match(da, va, db, vb):
             return match_descriptors(da, va, db, vb, cfg.match)
+
+        if self.stereo_baseline is not None:
+            from sift_tpu.matching.stereo import stereo_depths
+            fx_s = float(self.K[0])
+            bl = float(self.stereo_baseline)
+
+            @jax.jit
+            def _stereo(kp_l, kp_r):
+                return stereo_depths(kp_l, kp_r, fx_s, bl)
+
+            self._jit_stereo = _stereo
 
         fx, fy, cx, cy = self.K
         focal = float((fx + fy) * 0.5)
@@ -240,18 +253,25 @@ class SfmPipeline:
 
     # ----------------------------------------------------------------- api
     def process_frame(self, gray: np.ndarray,
-                      depth: Optional[np.ndarray] = None) -> Dict:
+                      depth: Optional[np.ndarray] = None,
+                      right: Optional[np.ndarray] = None) -> Dict:
         """Feed one grayscale frame ((H, W) float32 [0,255]); returns a dict
         with `pose` (6,), `tracked` (bool), `is_keyframe` (bool).
 
-        `depth` (optional, (H, W) meters, RGB-D mode): resolves the monocular
-        scale gauge — bootstrap backprojects the first keyframe's keypoints
-        directly instead of waiting for two-view parallax, and keyframes
-        spawn new landmarks from depth as well as triangulation.
+        `depth` (optional): metric depth that resolves the monocular scale
+        gauge — either an (H, W) map (RGB-D) or an (N,) per-keypoint array.
+        `right` (optional): rectified right stereo frame; requires
+        `stereo_baseline` at construction — per-keypoint depths come from
+        MXU stereo matching (`matching/stereo.py`).
         """
         self._frame_idx += 1
         kp_dev = self._jit_extract(jnp.asarray(gray, jnp.float32))
         kp = _np_kp(kp_dev)
+        if right is not None:
+            assert self.stereo_baseline is not None, \
+                "pass stereo_baseline= to SfmPipeline for stereo input"
+            kp_r = self._jit_extract(jnp.asarray(right, jnp.float32))
+            depth = np.asarray(self._jit_stereo(kp_dev, kp_r))
         if self.state == "bootstrap":
             if depth is not None:
                 out = self._bootstrap_rgbd(kp, depth)
@@ -268,11 +288,16 @@ class SfmPipeline:
 
     def _depth_at(self, kp: Dict[str, np.ndarray], depth: np.ndarray,
                   slots: np.ndarray) -> np.ndarray:
-        """Per-keypoint depth sample (0 where invalid/out of range)."""
-        h, w = depth.shape
-        u = np.clip(kp["u"][slots].astype(np.int64), 0, w - 1)
-        v = np.clip(kp["v"][slots].astype(np.int64), 0, h - 1)
-        z = depth[v, u]
+        """Per-keypoint depth (0 where invalid/out of range): samples a 2-D
+        map at the keypoint pixels, or indexes a 1-D per-keypoint array
+        (the stereo path)."""
+        if depth.ndim == 1:
+            z = depth[slots]
+        else:
+            h, w = depth.shape
+            u = np.clip(kp["u"][slots].astype(np.int64), 0, w - 1)
+            v = np.clip(kp["v"][slots].astype(np.int64), 0, h - 1)
+            z = depth[v, u]
         z = np.where(np.isfinite(z) & (z > self.cfg.depth_min)
                      & (z < self.cfg.depth_max), z, 0.0)
         return z

@@ -147,6 +147,24 @@ def test_planar_scene_bootstraps_via_homography():
 
 
 @pytest.mark.slow
+def test_stereo_from_pixels_metric(frames):
+    """Rectified stereo path: the right frame is the same scene rendered
+    from x + baseline; per-keypoint stereo depths give metric scale through
+    the RGB-D machinery (rigid-aligned ATE)."""
+    # Disparity must dominate keypoint localization noise: with fx=200 and
+    # planes at 6/12 m, baseline 0.8 m gives 13-27 px disparity (KITTI-like
+    # ratios); tiny baselines make depth noise-dominated.
+    baseline = 0.8
+    pipe = SfmPipeline(INTR, _cfg(), stereo_baseline=baseline)
+    for i in range(N_FRAMES):
+        pipe.process_frame(frames[i], right=_render(STEP * i + baseline))
+    assert pipe.state == "tracking"
+    gt = np.stack([[STEP * i, 0.0, 0.0] for i in range(N_FRAMES)])
+    ate = ate_rmse(pipe.positions(), gt, align=True, with_scale=False)
+    assert ate < 0.03, ate
+
+
+@pytest.mark.slow
 def test_rgbd_from_pixels_metric(frames):
     depth = _depth_map()
     pipe = SfmPipeline(INTR, _cfg())
