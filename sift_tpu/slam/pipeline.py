@@ -571,10 +571,23 @@ class SfmPipeline:
                 return int(oi), pose, m, inl, sel, lm_of
         return None
 
+    def _predicted_pose(self) -> np.ndarray:
+        """Constant-velocity prediction: advance the last tracked pose by the
+        last inter-frame motion — a much better GN seed than the reference
+        keyframe's pose under fast motion."""
+        tracked = [r for r in self.trajectory if r.get("tracked")]
+        if len(tracked) < 2:
+            return self.keyframes[-1].pose
+        p2 = np.asarray(tracked[-1]["pose"], np.float32)
+        p1 = np.asarray(tracked[-2]["pose"], np.float32)
+        vel = self._rel_pose(p1, p2)
+        return np.asarray(lie.boxplus(jnp.asarray(p2), jnp.asarray(vel)),
+                          np.float32)
+
     def _tracking_step(self, kp, depth: Optional[np.ndarray] = None) -> Dict:
         kf = self.keyframes[-1]
         pose, inliers, rmse, m, sel, lm_of_match, n_inl = \
-            self._match_and_localize(kp, kf, kf.pose)
+            self._match_and_localize(kp, kf, self._predicted_pose())
         tracked = n_inl >= self.cfg.keyframe_min_inliers // 2
         self._frames_since_kf += 1
 
