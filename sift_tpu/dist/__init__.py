@@ -10,10 +10,14 @@ and `shard_map` (explicit per-device BA with `psum` reductions over ICI).
 from sift_tpu.dist.mesh import make_mesh, pad_to_multiple
 from sift_tpu.dist.ba_dist import run_ba_sharded
 from sift_tpu.dist.frontend_dist import extract_batch_sharded
+from sift_tpu.dist.matching_dist import match_pairs_sharded
+from sift_tpu.dist.pose_graph_dist import optimize_pose_graph_sharded
 
 __all__ = [
     "make_mesh",
     "pad_to_multiple",
     "run_ba_sharded",
     "extract_batch_sharded",
+    "match_pairs_sharded",
+    "optimize_pose_graph_sharded",
 ]
