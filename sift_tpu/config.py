@@ -168,6 +168,11 @@ class PipelineConfig:
     depth_min: float = 0.1
     depth_max: float = 25.0
 
+    # Guided (projection-prior) matching during tracking: candidates must
+    # fall within this pixel radius of the landmark's predicted projection
+    # (0 disables; relocalization/loop probes always match unguided).
+    guided_radius: float = 40.0
+
     # Relocalization after tracking loss.
     reloc_after_lost: int = 3         # failed frames before attempting
     reloc_candidates: int = 6         # keyframes probed per attempt

@@ -109,6 +109,55 @@ def match_descriptors_jit(desc_a, valid_a, desc_b, valid_b,
     return match_descriptors(desc_a, valid_a, desc_b, valid_b, cfg)
 
 
+def match_descriptors_guided(desc_a, valid_a, desc_b, valid_b,
+                             uv_pred_a, has_pred_a, uv_b,
+                             radius: float, cfg: MatchConfig) -> Matches:
+    """Spatially-guided matching: rows with a position prior only consider
+    candidates within `radius` pixels of the prediction.
+
+    The SLAM tracking step knows roughly where each reference landmark will
+    appear (projection under the motion-model pose); restricting candidates
+    to that window both removes repetitive-texture ambiguity (the ratio
+    test's second-best is now the second-best *plausible* candidate) and
+    rejects gross mismatches before RANSAC ever sees them.
+
+    uv_pred_a: (Na, 2) predicted positions; has_pred_a: (Na,) bool (rows
+    without a prior match unrestricted); uv_b: (Nb, 2) keypoint positions.
+    """
+    d = pairwise_sqdist(desc_a, desc_b)
+    d = jnp.where(valid_b[None, :], d, _BIG)
+    d = jnp.where(valid_a[:, None], d, _BIG)
+
+    dist2 = jnp.sum((uv_pred_a[:, None, :] - uv_b[None, :, :]) ** 2, -1)
+    near = dist2 <= radius * radius
+    spatial_ok = jnp.where(has_pred_a[:, None], near, True)
+    d = jnp.where(spatial_ok, d, _BIG)
+
+    best, second, best_idx = _top2_min(d)
+    ok = best < (cfg.ratio * cfg.ratio) * second
+    ok &= valid_a & (best < _BIG)
+    if cfg.mutual:
+        best_back = jnp.argmin(d, axis=0)
+        ok &= best_back[best_idx] == jnp.arange(d.shape[0])
+
+    m = cfg.max_matches
+    score = jnp.where(ok, -best, -_BIG)
+    k = min(m, score.shape[0])
+    top_scores, idx_a = lax.top_k(score, k)
+    valid = top_scores > -_BIG
+    if k < m:
+        pad = m - k
+        idx_a = jnp.pad(idx_a, (0, pad))
+        top_scores = jnp.pad(top_scores, (0, pad), constant_values=-_BIG)
+        valid = jnp.pad(valid, (0, pad))
+    return Matches(
+        idx_a=idx_a.astype(jnp.int32),
+        idx_b=best_idx[idx_a].astype(jnp.int32),
+        distance=jnp.where(valid, -top_scores, _BIG),
+        valid=valid,
+    )
+
+
 def match_keypoints(kp_a: Keypoints, kp_b: Keypoints,
                     cfg: MatchConfig) -> Matches:
     """Convenience wrapper over two `Keypoints` (requires descriptors)."""

@@ -154,6 +154,23 @@ class SfmPipeline:
 
             self._jit_stereo = _stereo
 
+        from sift_tpu.matching.matcher import match_descriptors_guided
+        from sift_tpu.geometry.camera import project as project_cam
+
+        @jax.jit
+        def _guided_match(da, va, uv_pred, has_pred, db, vb, uv_b):
+            return match_descriptors_guided(
+                da, va, db, vb, uv_pred, has_pred, uv_b,
+                cfg.guided_radius, cfg.match)
+
+        @jax.jit
+        def _project(pose, lms):
+            uv, z = project_cam(pose, K, lms)
+            return uv, z
+
+        self._jit_guided_match = _guided_match
+        self._jit_project = _project
+
         fx, fy, cx, cy = self.K
         focal = float((fx + fy) * 0.5)
 
@@ -519,14 +536,32 @@ class SfmPipeline:
                     is_keyframe=True, n_inliers=int(n_inl), state="tracking")
 
     # ------------------------------------------------------------ tracking
-    def _match_and_localize(self, kp, ref_kf: Keyframe, init_pose):
+    def _match_and_localize(self, kp, ref_kf: Keyframe, init_pose,
+                            guided: bool = False):
         """Match `kp` against a reference keyframe and localize on the 2D-3D
         correspondences. Returns (pose, inliers, rmse, m, sel, lm_of_match,
-        n_inl)."""
-        m = self._jit_match(jnp.asarray(ref_kf.kp["desc"]),
-                            jnp.asarray(ref_kf.kp["valid"]),
-                            jnp.asarray(kp["desc"]),
-                            jnp.asarray(kp["valid"]))
+        n_inl). `guided`: restrict candidates near each reference landmark's
+        projection under `init_pose` (tracking only — probes stay unguided)."""
+        if guided and self.cfg.guided_radius > 0 and \
+                (ref_kf.kp_lm >= 0).any() and self.landmarks.shape[0] > 0:
+            has = ref_kf.kp_lm >= 0
+            lms = self.landmarks[np.clip(ref_kf.kp_lm, 0,
+                                         self.landmarks.shape[0] - 1)]
+            uv_pred, z = self._jit_project(jnp.asarray(init_pose),
+                                           jnp.asarray(lms))
+            has_pred = jnp.asarray(has) & (z > 1e-6)
+            uv_b = jnp.asarray(
+                np.stack([kp["u"], kp["v"]], -1).astype(np.float32))
+            m = self._jit_guided_match(
+                jnp.asarray(ref_kf.kp["desc"]),
+                jnp.asarray(ref_kf.kp["valid"]),
+                uv_pred, has_pred,
+                jnp.asarray(kp["desc"]), jnp.asarray(kp["valid"]), uv_b)
+        else:
+            m = self._jit_match(jnp.asarray(ref_kf.kp["desc"]),
+                                jnp.asarray(ref_kf.kp["valid"]),
+                                jnp.asarray(kp["desc"]),
+                                jnp.asarray(kp["valid"]))
         valid = np.asarray(m.valid)
         ia, ib = np.asarray(m.idx_a), np.asarray(m.idx_b)
 
@@ -587,7 +622,8 @@ class SfmPipeline:
     def _tracking_step(self, kp, depth: Optional[np.ndarray] = None) -> Dict:
         kf = self.keyframes[-1]
         pose, inliers, rmse, m, sel, lm_of_match, n_inl = \
-            self._match_and_localize(kp, kf, self._predicted_pose())
+            self._match_and_localize(kp, kf, self._predicted_pose(),
+                                     guided=True)
         tracked = n_inl >= self.cfg.keyframe_min_inliers // 2
         self._frames_since_kf += 1
 

@@ -73,6 +73,61 @@ def test_invalid_masks_respected():
     assert not np.isin(0, np.asarray(m.idx_b)[valid])
 
 
+def test_guided_matching_disambiguates_repetitive_texture():
+    """Identical descriptors at different positions: unguided ratio test
+    kills them all; a position prior recovers the right associations."""
+    from sift_tpu.matching.matcher import match_descriptors_guided
+
+    rng = np.random.default_rng(7)
+    code = _rand_desc(rng, 1)[0]
+    n = 8
+    # Two independently-noised observations of the SAME texture patch at n
+    # distinct positions: every pair looks alike, so no ratio test can pick.
+    desc_a = np.tile(code, (n, 1)) + \
+        1e-3 * rng.standard_normal((n, 128)).astype(np.float32)
+    desc_b = np.tile(code, (n, 1)) + \
+        1e-3 * rng.standard_normal((n, 128)).astype(np.float32)
+    uv = np.stack([np.arange(n) * 100.0, np.zeros(n)], -1).astype(np.float32)
+
+    cfg = MatchConfig(ratio=0.8, mutual=True, max_matches=n)
+    valid = jnp.ones(n, bool)
+
+    un = match_descriptors(jnp.asarray(desc_a), valid, jnp.asarray(desc_b),
+                           valid, cfg)
+    assert int(np.asarray(un.valid).sum()) == 0     # all ambiguous
+
+    g = match_descriptors_guided(
+        jnp.asarray(desc_a), valid, jnp.asarray(desc_b), valid,
+        jnp.asarray(uv), jnp.ones(n, bool), jnp.asarray(uv),
+        radius=40.0, cfg=cfg)
+    gv = np.asarray(g.valid)
+    assert gv.sum() == n
+    ia, ib = np.asarray(g.idx_a)[gv], np.asarray(g.idx_b)[gv]
+    assert (ia == ib).all()                          # position decides
+
+
+def test_guided_rows_without_prior_unrestricted():
+    from sift_tpu.matching.matcher import match_descriptors_guided
+
+    rng = np.random.default_rng(8)
+    desc = _rand_desc(rng, 6)
+    uv = rng.uniform(0, 500, (6, 2)).astype(np.float32)
+    cfg = MatchConfig(ratio=0.9, mutual=True, max_matches=6)
+    valid = jnp.ones(6, bool)
+    # Prior points far away for rows 0-2, but has_pred only on row 0.
+    pred = uv + 400.0
+    has = np.zeros(6, bool)
+    has[0] = True
+    g = match_descriptors_guided(
+        jnp.asarray(desc), valid, jnp.asarray(desc), valid,
+        jnp.asarray(pred), jnp.asarray(has), jnp.asarray(uv),
+        radius=10.0, cfg=cfg)
+    gv = np.asarray(g.valid)
+    ia = set(np.asarray(g.idx_a)[gv])
+    assert 0 not in ia                 # prior excluded its true match
+    assert {1, 2, 3, 4, 5}.issubset(ia)
+
+
 def test_output_sorted_and_fixed_capacity():
     rng = np.random.default_rng(4)
     b = _rand_desc(rng, 32)
