@@ -791,11 +791,50 @@ class SfmPipeline:
                 z=self._rel_pose(old_kf.pose, np.asarray(pose)),
                 w=cfg.loop_weight))
             self.num_loop_closures += 1
+            # Landmark fusion: the accepted 2D-3D inliers tie new-keyframe
+            # keypoints to OLD map points — adopt/merge so subsequent window
+            # BA constrains the loop through shared observations, not only
+            # through the pose-graph edge.
+            inl_np = np.asarray(inl)[:sel.shape[0]]
+            self._fuse_loop_landmarks(new_kf, ib[sel[inl_np]],
+                                      lm_of[sel[inl_np]])
             if self.logger is not None:
                 self.logger.log("loop_closure", old=int(oi), new=new_idx,
                                 inliers=n_inl, rmse=float(rmse))
             self._run_pose_graph()
             break          # at most one closure per keyframe
+
+    def _fuse_loop_landmarks(self, new_kf: Keyframe,
+                             new_slots: np.ndarray,
+                             old_lm_ids: np.ndarray) -> None:
+        """Adopt/merge landmark identities across a loop closure.
+
+        For each inlier pair (new keyframe slot, old landmark): a slot with
+        no landmark adopts the old id; a slot carrying a duplicate (the
+        return-path re-triangulation of the same physical point) has every
+        reference to the duplicate remapped to the old id, fusing the map.
+        """
+        cur = new_kf.kp_lm[new_slots]
+        adopt = cur < 0
+        new_kf.kp_lm[new_slots[adopt]] = old_lm_ids[adopt]
+
+        dup_pairs = [(int(d), int(o))
+                     for d, o in zip(cur[~adopt], old_lm_ids[~adopt])
+                     if d != o]
+        if not dup_pairs:
+            return
+        remap = np.arange(self.landmarks.shape[0], dtype=np.int64)
+        for d, o in dup_pairs:
+            remap[d] = o
+        # Resolve chains (a->b->c) conservatively with a few passes.
+        for _ in range(3):
+            remap = remap[remap]
+        for kf in self.keyframes:
+            has = kf.kp_lm >= 0
+            kf.kp_lm[has] = remap[kf.kp_lm[has]]
+        if self.logger is not None:
+            self.logger.log("landmark_fusion", merged=len(dup_pairs),
+                            adopted=int(adopt.sum()))
 
     def _run_pose_graph(self):
         """Optimize all keyframe poses over the accumulated edge set (padded
