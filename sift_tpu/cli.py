@@ -196,6 +196,17 @@ def cmd_match(args) -> int:
     if bool(est.success):
         H = np.array(est.model)
         print("H =\n", np.round(H / H[2, 2], 4))
+
+    if args.viz:
+        from sift_tpu.io.viz import side_by_side_matches
+        from sift_tpu.io.image import load_image_gray, save_image_rgb
+
+        img = side_by_side_matches(
+            load_image_gray(args.image_a), load_image_gray(args.image_b),
+            np.asarray(pa), np.asarray(pb), np.asarray(valid),
+            np.asarray(est.inliers))
+        save_image_rgb(args.viz, img)
+        print(f"wrote {args.viz}")
     return 0
 
 
@@ -294,6 +305,11 @@ def cmd_sfm(args) -> int:
     if args.traj:
         np.savetxt(args.traj, pipe.positions())
         print(f"wrote {args.traj}")
+    if args.plot:
+        from sift_tpu.io.viz import plot_trajectory
+        plot_trajectory(pipe.positions(), gt, path=args.plot,
+                        title=f"{seq.name} trajectory")
+        print(f"wrote {args.plot}")
     return 0
 
 
@@ -318,6 +334,7 @@ def build_parser() -> argparse.ArgumentParser:
     pm.add_argument("image_a")
     pm.add_argument("image_b")
     pm.add_argument("--ratio", type=float, default=0.8)
+    pm.add_argument("--viz", help="write side-by-side match visualization")
     _add_reference_flags(pm)
     pm.set_defaults(func=cmd_match)
 
@@ -347,6 +364,7 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--stereo", action="store_true",
                     help="KITTI: use image_1 for stereo depth (metric scale)")
     ps.add_argument("--traj", help="write trajectory positions to this file")
+    ps.add_argument("--plot", help="write a top-down trajectory plot (png)")
     ps.add_argument("--verbose", action="store_true")
     ps.set_defaults(func=cmd_sfm)
 
