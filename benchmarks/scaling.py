@@ -83,22 +83,28 @@ def main():
                 jnp.asarray(scene["landmarks_init"]),
                 scene["obs_cam"], scene["obs_lm"], scene["obs_uv"],
                 scene["obs_valid"])
-        run = lambda: run_ba_sharded(mesh, *args, cfg=ba_cfg,
-                                     fixed_cam_mask=jnp.asarray(fixed))
-        st = run()
-        float(st.cost)              # warm/compile
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
+        # Both landmark-block reshard strategies (SURVEY §5): psum
+        # (replicate V, invert everywhere) vs reduce_scatter (Ulysses-style
+        # by-landmark ownership of the inverse).
+        for v_mode in ("psum", "reduce_scatter"):
+            run = lambda: run_ba_sharded(mesh, *args, cfg=ba_cfg,
+                                         fixed_cam_mask=jnp.asarray(fixed),
+                                         v_mode=v_mode)
             st = run()
-            float(st.cost)
-            best = min(best, time.perf_counter() - t0)
-        if base_t is None:
-            base_t = best
-        print(json.dumps({
-            "metric": "ba_step_scaling", "devices": n,
-            "value": round(best * 1e3, 2), "unit": "ms",
-            "speedup": round(base_t / best, 3)}))
+            float(st.cost)              # warm/compile
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                st = run()
+                float(st.cost)
+                best = min(best, time.perf_counter() - t0)
+            if base_t is None:
+                base_t = best
+            print(json.dumps({
+                "metric": "ba_step_scaling", "devices": n,
+                "v_mode": v_mode,
+                "value": round(best * 1e3, 2), "unit": "ms",
+                "speedup": round(base_t / best, 3)}))
     return 0
 
 

@@ -81,7 +81,8 @@ def build_system(poses, intrinsics, landmarks, obs_cam, obs_lm, obs_uv,
                  fixed_cam_mask: jnp.ndarray,
                  axis_name: Optional[str] = None,
                  loss: str = "huber",
-                 landmark_axis: Optional[str] = None) -> SchurSystem:
+                 landmark_axis: Optional[str] = None,
+                 v_mode: str = "psum") -> SchurSystem:
     """Linearize and assemble the damped block system.
 
     `fixed_cam_mask` (C,) bool: gauge-fixed cameras get zeroed Jacobian
@@ -99,7 +100,6 @@ def build_system(poses, intrinsics, landmarks, obs_cam, obs_lm, obs_uv,
     Jc = Jc * free[:, None, None]
 
     U = _seg_sum(jnp.einsum("oik,oil->okl", Jc, Jc), obs_cam, C, axis_name)
-    V = _seg_sum(jnp.einsum("oik,oil->okl", Jl, Jl), obs_lm, L, axis_name)
     g_cam = _seg_sum(jnp.einsum("oik,oi->ok", Jc, r), obs_cam, C, axis_name)
     g_lm = _seg_sum(jnp.einsum("oik,oi->ok", Jl, r), obs_lm, L, axis_name)
 
@@ -107,15 +107,34 @@ def build_system(poses, intrinsics, landmarks, obs_cam, obs_lm, obs_uv,
     # lambda*I leaves tiny-Jacobian blocks with condition ~|J^T J|/lambda,
     # which overwhelms float32 3x3 inversion and emits NaN updates.
     eye6 = jnp.eye(6, dtype=U.dtype)
-    eye3 = jnp.eye(3, dtype=V.dtype)
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+
+    def damp3(V):
+        dv = jnp.einsum("lii->l", V)[:, None, None] / 3.0
+        return V + (damping * (1.0 + dv) + 1e-6 * dv) * eye3
+
     du = jnp.einsum("cii->c", U)[:, None, None] / 6.0
-    dv = jnp.einsum("lii->l", V)[:, None, None] / 3.0
     U = U + (damping * (1.0 + du) + 1e-6 * du) * eye6
-    V = V + (damping * (1.0 + dv) + 1e-6 * dv) * eye3
-    if landmark_axis is not None:
-        V_inv = _sharded_inv3(V, landmark_axis)
+
+    v_contrib = jnp.einsum("oik,oil->okl", Jl, Jl)
+    if v_mode == "reduce_scatter" and axis_name is not None:
+        # Ulysses-style by-landmark reshard (SURVEY §5): instead of
+        # replicating V with a psum and then inverting, reduce_scatter the
+        # local partial sums so each device owns (and inverts) L/n fully
+        # summed landmark blocks, then all_gather the inverses. Same total
+        # bytes on the wire as psum, but the batched 3x3 inversion is
+        # perfectly distributed without a separate model axis.
+        V_local = jax.ops.segment_sum(v_contrib, obs_lm, num_segments=L)
+        V_own = lax.psum_scatter(V_local, axis_name, scatter_dimension=0,
+                                 tiled=True)
+        V_inv = lax.all_gather(jnp.linalg.inv(damp3(V_own)), axis_name,
+                               axis=0, tiled=True)
     else:
-        V_inv = jnp.linalg.inv(V)
+        V = damp3(_seg_sum(v_contrib, obs_lm, L, axis_name))
+        if landmark_axis is not None:
+            V_inv = _sharded_inv3(V, landmark_axis)
+        else:
+            V_inv = jnp.linalg.inv(V)
 
     return SchurSystem(r=r, Jc=Jc, Jl=Jl, obs_cam=obs_cam, obs_lm=obs_lm,
                        U=U, V_inv=V_inv, g_cam=g_cam, g_lm=g_lm,

@@ -43,7 +43,8 @@ class BAState:
 def run_ba(poses, intrinsics, landmarks, obs_cam, obs_lm, obs_uv, obs_valid,
            cfg: BAConfig, fixed_cam_mask,
            axis_name: Optional[str] = None,
-           landmark_axis: Optional[str] = None) -> BAState:
+           landmark_axis: Optional[str] = None,
+           v_mode: str = "psum") -> BAState:
     """Optimize poses and landmarks; returns the final `BAState`.
 
     Under `shard_map`, obs_* are the device-local shards and `axis_name` is
@@ -77,7 +78,7 @@ def run_ba(poses, intrinsics, landmarks, obs_cam, obs_lm, obs_uv, obs_valid,
         sys = build_system(st.poses, intrinsics, st.landmarks,
                            obs_cam, obs_lm, obs_uv, obs_valid,
                            cfg.huber_delta, st.damping, fixed_cam_mask,
-                           axis_name, cfg.loss, landmark_axis)
+                           axis_name, cfg.loss, landmark_axis, v_mode)
         b = schur_rhs(sys)
         dc, k = pcg(sys, b, cfg.cg_iterations, cfg.cg_tol)
         dc = jnp.where(fixed_cam_mask[:, None], 0.0, dc)

@@ -34,7 +34,8 @@ def run_ba_sharded(mesh: Mesh,
                    obs_cam, obs_lm, obs_uv, obs_valid,
                    cfg: BAConfig, fixed_cam_mask,
                    data_axis: str = "data",
-                   model_axis: Optional[str] = "model") -> BAState:
+                   model_axis: Optional[str] = "model",
+                   v_mode: str = "psum") -> BAState:
     """Run distributed LM bundle adjustment on a mesh.
 
     Host-side entry: pads the observation buffers to a multiple of the data
@@ -65,7 +66,8 @@ def run_ba_sharded(mesh: Mesh,
         out_specs=rep, check_vma=False)
     def step(p, k, l, oc, ol, ouv, ov, fm):
         return run_ba(p, k, l, oc, ol, ouv, ov, cfg, fm,
-                      axis_name=data_axis, landmark_axis=model_axis)
+                      axis_name=data_axis, landmark_axis=model_axis,
+                      v_mode=v_mode)
 
     return jax.jit(step)(poses, intrinsics, landmarks,
                          obs_cam, obs_lm, obs_uv, obs_valid, fixed_cam_mask)

@@ -55,6 +55,22 @@ def test_sharded_matches_single_device(scene, eight_devices, mesh_cfg):
     np.testing.assert_allclose(float(got.rmse), float(ref.rmse), atol=1e-3)
 
 
+def test_reduce_scatter_v_mode_matches_psum(scene, eight_devices):
+    """Ulysses-style by-landmark reshard (reduce_scatter V + local inverse +
+    all_gather) must equal the psum path (SURVEY §5: both layouts)."""
+    cfg = BAConfig(max_iterations=8, cg_iterations=40)
+    args = _args(scene)
+    fixed = _fixed(6)
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    a = run_ba_sharded(mesh, *args, cfg=cfg, fixed_cam_mask=fixed,
+                       v_mode="psum")
+    b = run_ba_sharded(mesh, *args, cfg=cfg, fixed_cam_mask=fixed,
+                       v_mode="reduce_scatter")
+    np.testing.assert_allclose(np.asarray(b.poses), np.asarray(a.poses),
+                               atol=1e-4)
+    np.testing.assert_allclose(float(b.rmse), float(a.rmse), atol=1e-3)
+
+
 def test_sharded_ba_converges(scene, eight_devices):
     cfg = BAConfig(max_iterations=20, cg_iterations=60)
     mesh = make_mesh(MeshConfig(data=4, model=2))
