@@ -168,6 +168,12 @@ class PipelineConfig:
     depth_min: float = 0.1
     depth_max: float = 25.0
 
+    # Local-map tracking: associate each frame against the deduplicated
+    # union of landmarks observed by the last `window_size` keyframes
+    # (capacity below, padded static) instead of only the last keyframe.
+    use_local_map: bool = True
+    local_map_size: int = 2048
+
     # Guided (projection-prior) matching during tracking: candidates must
     # fall within this pixel radius of the landmark's predicted projection
     # (0 disables; relocalization/loop probes always match unguided).

@@ -606,6 +606,71 @@ class SfmPipeline:
                 return int(oi), pose, m, inl, sel, lm_of
         return None
 
+    def _build_local_map(self):
+        """Deduplicated (descriptor, landmark-id) union of the window's
+        keyframe observations, recent-first, padded to the static
+        `local_map_size`. Returns (desc (M, D), valid (M,), lm_ids (M,))."""
+        cfg = self.cfg
+        window = self.keyframes[-cfg.window_size:]
+        ids, descs = [], []
+        for kf in reversed(window):          # recent observations win dedup
+            slots = np.nonzero(kf.kp_lm >= 0)[0]
+            ids.append(kf.kp_lm[slots])
+            descs.append(kf.kp["desc"][slots])
+        if not ids:
+            return None
+        ids = np.concatenate(ids)
+        descs = np.concatenate(descs)
+        if ids.shape[0] == 0:
+            return None
+        # first occurrence (== most recent observation) per landmark
+        _, first = np.unique(ids, return_index=True)
+        first = np.sort(first)[:cfg.local_map_size]
+        M = cfg.local_map_size
+        D = descs.shape[1]
+        out_desc = np.zeros((M, D), np.float32)
+        out_ids = np.zeros((M,), np.int64)
+        out_valid = np.zeros((M,), bool)
+        k = first.shape[0]
+        out_desc[:k] = descs[first]
+        out_ids[:k] = ids[first]
+        out_valid[:k] = True
+        return out_desc, out_valid, out_ids
+
+    def _localize_local_map(self, kp, init_pose):
+        """Guided association against the local map; returns
+        (pose, n_inliers, rmse) or None when no local map exists."""
+        local = self._build_local_map()
+        if local is None:
+            return None
+        desc_ref, valid_ref, lm_ids = local
+        lms_ref = self.landmarks[np.clip(lm_ids, 0,
+                                         max(self.landmarks.shape[0] - 1, 0))]
+        uv_pred, z = self._jit_project(jnp.asarray(init_pose),
+                                       jnp.asarray(lms_ref))
+        has_pred = jnp.asarray(valid_ref) & (z > 1e-6)
+        uv_b = jnp.asarray(
+            np.stack([kp["u"], kp["v"]], -1).astype(np.float32))
+        m = self._jit_guided_match(
+            jnp.asarray(desc_ref), jnp.asarray(valid_ref),
+            uv_pred, has_pred,
+            jnp.asarray(kp["desc"]), jnp.asarray(kp["valid"]), uv_b)
+        valid = np.asarray(m.valid)
+        ia, ib = np.asarray(m.idx_a), np.asarray(m.idx_b)
+        sel = np.nonzero(valid)[0]           # every row IS a landmark
+        cap = self.cfg.match.max_matches
+        lms = np.zeros((cap, 3), np.float32)
+        uv = np.zeros((cap, 2), np.float32)
+        lms[:sel.shape[0]] = self.landmarks[lm_ids[ia[sel]]]
+        uv[:sel.shape[0], 0] = kp["u"][ib[sel]]
+        uv[:sel.shape[0], 1] = kp["v"][ib[sel]]
+        pvalid = np.zeros(cap, bool)
+        pvalid[:sel.shape[0]] = True
+        pose, inliers, rmse = self._jit_localize(
+            self._next_key(), jnp.asarray(init_pose), jnp.asarray(lms),
+            jnp.asarray(uv), jnp.asarray(pvalid))
+        return np.asarray(pose), int(np.asarray(inliers).sum()), float(rmse)
+
     def _predicted_pose(self) -> np.ndarray:
         """Constant-velocity prediction: advance the last tracked pose by the
         last inter-frame motion — a much better GN seed than the reference
@@ -621,9 +686,18 @@ class SfmPipeline:
 
     def _tracking_step(self, kp, depth: Optional[np.ndarray] = None) -> Dict:
         kf = self.keyframes[-1]
-        pose, inliers, rmse, m, sel, lm_of_match, n_inl = \
-            self._match_and_localize(kp, kf, self._predicted_pose(),
-                                     guided=True)
+        pred = self._predicted_pose()
+        kf_assoc = None          # lazy: only promotions need the kf match
+        if self.cfg.use_local_map:
+            hit = self._localize_local_map(kp, pred)
+        else:
+            hit = None
+        if hit is not None:
+            pose, n_inl, rmse = hit
+        else:
+            pose, inliers, rmse, m, sel, lm_of_match, n_inl = \
+                self._match_and_localize(kp, kf, pred, guided=True)
+            kf_assoc = (m, inliers, sel, lm_of_match)
         tracked = n_inl >= self.cfg.keyframe_min_inliers // 2
         self._frames_since_kf += 1
 
@@ -652,6 +726,14 @@ class SfmPipeline:
             n_inl < self.cfg.kf_min_tracked or
             self._frames_since_kf >= self.cfg.kf_max_interval)
         if is_kf:
+            if kf_assoc is None:
+                # Local-map tracking: the promotion bookkeeping (carry-over
+                # + 2D-2D triangulation) needs the keyframe-aligned match;
+                # run it now, seeded by the local-map pose.
+                pose, inliers, rmse, m, sel, lm_of_match, _ = \
+                    self._match_and_localize(kp, kf, pose, guided=True)
+            else:
+                m, inliers, sel, lm_of_match = kf_assoc
             self._promote_keyframe(kp, pose, m, inliers, sel, lm_of_match,
                                    depth)
             self._frames_since_kf = 0
