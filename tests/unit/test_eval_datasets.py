@@ -86,13 +86,17 @@ def kitti_fixture(tmp_path):
     root = tmp_path / "kitti"
     seq = root / "sequences" / "00"
     (seq / "image_0").mkdir(parents=True)
+    (seq / "image_1").mkdir(parents=True)
     (root / "poses").mkdir()
     rng = np.random.default_rng(4)
     for i in range(3):
         img = rng.uniform(0, 255, (40, 120)).astype(np.float32)
         save_image_gray(str(seq / "image_0" / f"{i:06d}.png"), img)
+        save_image_gray(str(seq / "image_1" / f"{i:06d}.png"), img[:, ::-1])
+    # P1's fourth column encodes -fx * baseline (0.54 m here).
     (seq / "calib.txt").write_text(
-        "P0: 718.856 0 607.1928 0 0 718.856 185.2157 0 0 0 1 0\n")
+        "P0: 718.856 0 607.1928 0 0 718.856 185.2157 0 0 0 1 0\n"
+        "P1: 718.856 0 607.1928 -388.1822 0 718.856 185.2157 0 0 0 1 0\n")
     pose_lines = []
     for i in range(3):
         T = np.eye(4)
@@ -107,5 +111,15 @@ def test_load_kitti(kitti_fixture):
     assert len(seq) == 3
     fx, fy, cx, cy = seq.intrinsics
     assert abs(fx - 718.856) < 1e-6 and abs(cy - 185.2157) < 1e-6
+    assert abs(seq.baseline - 0.54) < 1e-4           # from P1
+    assert seq.frames[0].gray_right is None          # stereo off by default
     pos = seq.gt_positions()
     np.testing.assert_allclose(pos[:, 0], [0.0, 1.5, 3.0], atol=1e-9)
+
+
+def test_load_kitti_stereo(kitti_fixture):
+    seq = load_kitti_odometry(kitti_fixture, "00", stereo=True)
+    f = seq.frames[0]
+    assert f.gray_right is not None
+    assert f.gray_right.shape == f.gray.shape
+    np.testing.assert_allclose(f.gray_right, f.gray[:, ::-1], atol=1.0)
