@@ -63,10 +63,14 @@ def pose_only_refine(pose: jnp.ndarray, intrinsics: jnp.ndarray,
         g = jnp.einsum("kij,ki->j", Jw, r)
         d = -jnp.linalg.solve(H, g)
         pose_new = lie.boxplus(pose_c, d)
-        # Accept only if weighted cost decreases.
+        # Accept only if weighted cost decreases. Points that lose
+        # cheirality at the new pose keep their *old* residual in c_new
+        # (rather than dropping out) so a step that pushes points behind
+        # the camera earns no spurious cost decrease.
         r2, ok2 = residuals(zero, pose_new)
+        n2_new = jnp.sum(r2 * r2, -1)
         c_old = jnp.sum(w * n2)
-        c_new = jnp.sum(w * jnp.sum(r2 * r2, -1) * ok2)
+        c_new = jnp.sum(w * jnp.where(ok2, n2_new, n2))
         accept = c_new < c_old
         pose_c = jnp.where(accept, pose_new, pose_c)
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)

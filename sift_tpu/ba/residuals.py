@@ -108,9 +108,15 @@ def linearize(poses, intrinsics, landmarks, obs_cam, obs_lm, obs_uv,
     return r * sw, Jc * sw[..., None], Jl * sw[..., None], w
 
 
-def cost(poses, intrinsics, landmarks, obs_cam, obs_lm, obs_uv, obs_valid,
-         huber_delta: float, loss: str = "huber"):
-    """Robust total cost and RMSE over valid, in-front observations."""
+def cost_parts(poses, intrinsics, landmarks, obs_cam, obs_lm, obs_uv,
+               obs_valid, huber_delta: float, loss: str = "huber"):
+    """Robust cost pieces over valid, in-front observations.
+
+    Returns (total_rho, sq_sum, count) — keeping the sum of squared
+    residuals and the valid count separate lets distributed callers psum
+    both before dividing, so the global RMSE weights every observation
+    equally instead of every shard (shards carry uneven padding).
+    """
     r, depths = reprojection_residuals(poses, intrinsics, landmarks,
                                        obs_cam, obs_lm, obs_uv)
     valid = obs_valid & (depths > 1e-6)
@@ -126,6 +132,16 @@ def cost(poses, intrinsics, landmarks, obs_cam, obs_lm, obs_uv, obs_valid,
     else:
         rho = 0.5 * n2
     total = jnp.sum(jnp.where(valid, rho, 0.0))
-    cnt = jnp.maximum(jnp.sum(valid), 1)
-    rmse = jnp.sqrt(jnp.sum(jnp.where(valid, n2, 0.0)) / cnt)
+    sq_sum = jnp.sum(jnp.where(valid, n2, 0.0))
+    cnt = jnp.sum(valid)
+    return total, sq_sum, cnt
+
+
+def cost(poses, intrinsics, landmarks, obs_cam, obs_lm, obs_uv, obs_valid,
+         huber_delta: float, loss: str = "huber"):
+    """Robust total cost and RMSE over valid, in-front observations."""
+    total, sq_sum, cnt = cost_parts(poses, intrinsics, landmarks, obs_cam,
+                                    obs_lm, obs_uv, obs_valid, huber_delta,
+                                    loss)
+    rmse = jnp.sqrt(sq_sum / jnp.maximum(cnt, 1))
     return total, rmse

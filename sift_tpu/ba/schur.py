@@ -177,15 +177,21 @@ def back_substitute(sys: SchurSystem, dc: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("lij,lj->li", sys.V_inv, -sys.g_lm - wt_dc)
 
 
-def pcg(sys: SchurSystem, b: jnp.ndarray, iters: int, tol: float):
+def pcg(sys: SchurSystem, b: jnp.ndarray, iters: int, tol: float,
+        jacobi: bool = True):
     """Block-Jacobi preconditioned CG on the reduced camera system.
 
     Fixed iteration bound (`lax.while_loop` with tolerance early-exit on the
     *scalar* residual only — shapes stay static). Preconditioner: inv(U_c),
-    a batched 6x6 inverse.
+    a batched 6x6 inverse; `jacobi=False` runs plain CG (identity
+    preconditioner — mainly a diagnostic/ablation switch,
+    `BAConfig.jacobi_precond`).
     """
-    M_inv = jnp.linalg.inv(sys.U)
-    precond = lambda v: jnp.einsum("cij,cj->ci", M_inv, v)
+    if jacobi:
+        M_inv = jnp.linalg.inv(sys.U)
+        precond = lambda v: jnp.einsum("cij,cj->ci", M_inv, v)
+    else:
+        precond = lambda v: v
     dot = lambda a, bb: jnp.sum(a * bb)
 
     x0 = jnp.zeros_like(b)

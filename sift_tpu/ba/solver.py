@@ -23,7 +23,7 @@ from flax import struct
 
 from sift_tpu.config import BAConfig
 from sift_tpu.geometry import lie
-from sift_tpu.ba.residuals import cost
+from sift_tpu.ba.residuals import cost_parts
 from sift_tpu.ba.schur import (
     build_system, schur_rhs, back_substitute, pcg,
 )
@@ -54,12 +54,16 @@ def run_ba(poses, intrinsics, landmarks, obs_cam, obs_lm, obs_uv, obs_valid,
     f32 = jnp.float32
 
     def total_cost(p, l):
-        c, rmse = cost(p, intrinsics, l, obs_cam, obs_lm, obs_uv, obs_valid,
-                       cfg.huber_delta, cfg.loss)
+        c, sq, cnt = cost_parts(p, intrinsics, l, obs_cam, obs_lm, obs_uv,
+                                obs_valid, cfg.huber_delta, cfg.loss)
         if axis_name is not None:
+            # psum the squared-residual sum and the valid count separately:
+            # pmean of per-shard rmse^2 would weight shards equally even
+            # with uneven valid-observation counts (padding skew).
             c = lax.psum(c, axis_name)
-            # rmse needs the global sum of squares / count; recompute simply:
-            rmse = jnp.sqrt(lax.pmean(rmse * rmse, axis_name))
+            sq = lax.psum(sq, axis_name)
+            cnt = lax.psum(cnt, axis_name)
+        rmse = jnp.sqrt(sq / jnp.maximum(cnt, 1))
         return c, rmse
 
     c0, rmse0 = total_cost(poses, landmarks)
@@ -80,7 +84,8 @@ def run_ba(poses, intrinsics, landmarks, obs_cam, obs_lm, obs_uv, obs_valid,
                            cfg.huber_delta, st.damping, fixed_cam_mask,
                            axis_name, cfg.loss, landmark_axis, v_mode)
         b = schur_rhs(sys)
-        dc, k = pcg(sys, b, cfg.cg_iterations, cfg.cg_tol)
+        dc, k = pcg(sys, b, cfg.cg_iterations, cfg.cg_tol,
+                    jacobi=cfg.jacobi_precond)
         dc = jnp.where(fixed_cam_mask[:, None], 0.0, dc)
         dl = back_substitute(sys, dc)
         # Non-finite updates (degenerate blocks at float32 precision) must

@@ -143,11 +143,8 @@ class PipelineConfig:
     match: MatchConfig = MatchConfig()
     ransac: RansacConfig = RansacConfig()
     ba: BAConfig = BAConfig()
-    mesh: MeshConfig = MeshConfig()
 
     window_size: int = 8            # sliding BA window (keyframes)
-    max_landmarks: int = 8192       # static map capacity
-    max_observations: int = 65536   # static observation capacity
     keyframe_min_inliers: int = 30
 
     # Window-BA static capacities (compiled once; window obs/landmarks are

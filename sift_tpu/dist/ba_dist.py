@@ -50,6 +50,13 @@ def run_ba_sharded(mesh: Mesh,
         assert landmarks.shape[0] % mesh.shape[model_axis] == 0, (
             f"landmark capacity {landmarks.shape[0]} must divide by "
             f"model axis {mesh.shape[model_axis]}")
+    if v_mode == "reduce_scatter":
+        # psum_scatter(tiled=True) over the data axis splits the landmark
+        # dimension across it; a non-divisible capacity otherwise surfaces
+        # as an opaque trace-time shape error.
+        assert landmarks.shape[0] % n_data == 0, (
+            f"v_mode='reduce_scatter' requires landmark capacity "
+            f"{landmarks.shape[0]} divisible by data axis {n_data}")
 
     # Pad observations to a multiple of the data axis (masked slots).
     obs_cam = pad_to_multiple(np.asarray(obs_cam), n_data)

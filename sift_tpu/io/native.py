@@ -116,10 +116,16 @@ class NativeLoader:
         h = ctypes.c_int()
         ptr = self._lib.sift_loader_next(self._handle, ctypes.byref(w),
                                          ctypes.byref(h))
+        idx = self._i
         self._i += 1
         if not ptr:
+            # Exhaustion is guarded by `_i >= _n` above, so a null here with
+            # frames remaining is the C++ decode-error sentinel (w==0) — do
+            # not silently truncate the rest of the dataset.
             self.close()
-            raise StopIteration
+            raise IOError(
+                f"native loader: decode failed for frame {idx} "
+                f"({self._paths[idx].decode(errors='replace')})")
         return _take(self._lib, ptr, w.value, h.value)
 
     def close(self):

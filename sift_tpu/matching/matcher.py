@@ -42,6 +42,26 @@ def pairwise_sqdist(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
     return jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
 
 
+def _distances(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
+               metric: str) -> jnp.ndarray:
+    """All-pairs distance matrix under `MatchConfig.metric`.
+
+    "l2":  squared Euclidean distance on raw descriptors.
+    "dot": cosine distance 2 - 2 a.b / (|a||b|) — equals squared L2 on the
+           unit sphere, so the downstream ratio test's semantics carry over
+           unchanged; useful for RootSIFT-style renormalized descriptors.
+    """
+    if metric == "dot":
+        na = desc_a / jnp.maximum(
+            jnp.linalg.norm(desc_a, axis=-1, keepdims=True), 1e-12)
+        nb = desc_b / jnp.maximum(
+            jnp.linalg.norm(desc_b, axis=-1, keepdims=True), 1e-12)
+        ab = jnp.dot(na, nb.T, preferred_element_type=jnp.float32)
+        return jnp.maximum(2.0 - 2.0 * ab, 0.0)
+    assert metric == "l2", f"unknown match metric {metric!r}"
+    return pairwise_sqdist(desc_a, desc_b)
+
+
 def _top2_min(d: jnp.ndarray):
     """Per-row (best, second) minimum distances and best index.
 
@@ -68,7 +88,7 @@ def match_descriptors(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
     Returns a capacity-`cfg.max_matches` `Matches` sorted by ascending
     distance; invalid slots padded with index 0 / distance +inf.
     """
-    d = pairwise_sqdist(desc_a, desc_b)
+    d = _distances(desc_a, desc_b, cfg.metric)
     # Mask invalid rows and columns out of every reduction.
     d = jnp.where(valid_b[None, :], d, _BIG)
     d = jnp.where(valid_a[:, None], d, _BIG)
@@ -124,7 +144,7 @@ def match_descriptors_guided(desc_a, valid_a, desc_b, valid_b,
     uv_pred_a: (Na, 2) predicted positions; has_pred_a: (Na,) bool (rows
     without a prior match unrestricted); uv_b: (Nb, 2) keypoint positions.
     """
-    d = pairwise_sqdist(desc_a, desc_b)
+    d = _distances(desc_a, desc_b, cfg.metric)
     d = jnp.where(valid_b[None, :], d, _BIG)
     d = jnp.where(valid_a[:, None], d, _BIG)
 

@@ -29,14 +29,17 @@ def stereo_depths(kp_l: Keypoints, kp_r: Keypoints,
                   max_row_diff: float = 1.5,
                   min_disparity: float = 0.5,
                   max_disparity: float = 192.0,
-                  ratio: float = 0.8) -> jnp.ndarray:
+                  ratio: float = 0.8,
+                  subpixel: bool = False) -> jnp.ndarray:
     """Per-left-keypoint metric depth from a rectified stereo pair.
 
     kp_l/kp_r: Keypoints with descriptors (positions in full-resolution
-    pixels via `to_image_xy`). Returns (N_l,) float32 depths, 0 = invalid.
+    pixels via `to_image_xy`). `subpixel` must match the extractor's
+    `SiftConfig.subpixel` so positions land in original-image pixels.
+    Returns (N_l,) float32 depths, 0 = invalid.
     """
-    ul, vl = kp_l.to_image_xy()
-    ur, vr = kp_r.to_image_xy()
+    ul, vl = kp_l.to_image_xy(subpixel)
+    ur, vr = kp_r.to_image_xy(subpixel)
 
     d = pairwise_sqdist(kp_l.desc, kp_r.desc)
     row_ok = jnp.abs(vl[:, None] - vr[None, :]) <= max_row_diff
@@ -56,8 +59,9 @@ def stereo_depths(kp_l: Keypoints, kp_r: Keypoints,
     return jnp.where(accept, depth, 0.0)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
 def stereo_depths_jit(kp_l, kp_r, fx, baseline, max_row_diff=1.5,
-                      min_disparity=0.5, max_disparity=192.0, ratio=0.8):
+                      min_disparity=0.5, max_disparity=192.0, ratio=0.8,
+                      subpixel=False):
     return stereo_depths(kp_l, kp_r, fx, baseline, max_row_diff,
-                         min_disparity, max_disparity, ratio)
+                         min_disparity, max_disparity, ratio, subpixel)

@@ -40,11 +40,21 @@ from sift_tpu.ba.solver import run_ba
 from sift_tpu.utils.metrics import MetricsLogger
 
 
-def _np_kp(kp: Keypoints) -> Dict[str, np.ndarray]:
+def _np_kp(kp: Keypoints, subpixel: bool = False) -> Dict[str, np.ndarray]:
+    """Host keypoint dict with (u, v) in *original-image* pixels.
+
+    `subpixel` must match the extractor's `SiftConfig.subpixel`: with the 2x
+    pre-upsample on, level coords are in doubled-image pixels and the image
+    mapping divides by 2 (reference rule, main.cpp:62-63) — dropping the
+    divisor would feed localization/triangulation coordinates at 2x the
+    intrinsics' scale.
+    """
     d = dict(x=np.asarray(kp.x), y=np.asarray(kp.y),
              valid=np.asarray(kp.valid), desc=np.asarray(kp.desc),
              octave=np.asarray(kp.octave))
     factor = np.exp2(d["octave"].astype(np.float64))
+    if subpixel:
+        factor = factor / 2.0
     d["u"] = d["x"] * factor
     d["v"] = d["y"] * factor
     return d
@@ -148,9 +158,11 @@ class SfmPipeline:
             fx_s = float(self.K[0])
             bl = float(self.stereo_baseline)
 
+            subpix = bool(self.cfg.sift.subpixel)
+
             @jax.jit
             def _stereo(kp_l, kp_r):
-                return stereo_depths(kp_l, kp_r, fx_s, bl)
+                return stereo_depths(kp_l, kp_r, fx_s, bl, subpixel=subpix)
 
             self._jit_stereo = _stereo
 
@@ -283,7 +295,7 @@ class SfmPipeline:
         """
         self._frame_idx += 1
         kp_dev = self._jit_extract(jnp.asarray(gray, jnp.float32))
-        kp = _np_kp(kp_dev)
+        kp = _np_kp(kp_dev, self.cfg.sift.subpixel)
         if right is not None:
             assert self.stereo_baseline is not None, \
                 "pass stereo_baseline= to SfmPipeline for stereo input"
@@ -384,7 +396,7 @@ class SfmPipeline:
             kp_host = jax.device_get(kp_batch)
             for bi in range(len(chunk)):
                 kp_i = jax.tree.map(lambda a: a[bi], kp_host)
-                kp = _np_kp(kp_i)
+                kp = _np_kp(kp_i, cfg.sift.subpixel)
                 self._frame_idx += 1
                 depth = depths[start + bi] if depths is not None else None
                 if self.state == "bootstrap":

@@ -176,3 +176,20 @@ def test_masked_observations_are_inert():
                  cfg, _fixed_mask(4))
     np.testing.assert_allclose(np.asarray(st1.poses), np.asarray(st2.poses),
                                atol=1e-6)
+
+
+def test_pcg_without_jacobi_preconditioner_still_solves():
+    """`BAConfig.jacobi_precond=False` (plain CG ablation) reaches the same
+    reduced-system solution, just in more iterations."""
+    scene = make_scene(np.random.default_rng(11), num_cameras=4,
+                       num_landmarks=40, pose_noise=0.01,
+                       landmark_noise=0.05)
+    s = _to_jnp(scene)
+    sys = build_system(s["poses_init"], s["intrinsics"], s["landmarks_init"],
+                       s["obs_cam"], s["obs_lm"], s["obs_uv"], s["obs_valid"],
+                       3.0, 1e-2, _fixed_mask(4))
+    b = schur_rhs(sys)
+    x_pre, _ = pcg(sys, b, 200, 1e-8, jacobi=True)
+    x_cg, _ = pcg(sys, b, 500, 1e-8, jacobi=False)
+    np.testing.assert_allclose(np.asarray(x_pre), np.asarray(x_cg),
+                               atol=1e-3)

@@ -138,3 +138,27 @@ def test_output_sorted_and_fixed_capacity():
     assert m.idx_a.shape == (8,)
     d = np.asarray(m.distance)[np.asarray(m.valid)]
     assert (np.diff(d) >= -1e-7).all()           # ascending distance
+
+
+def test_dot_metric_equals_l2_on_unit_descriptors():
+    """metric="dot" (cosine distance) reproduces the L2 matching exactly for
+    L2-normalized descriptors: 2 - 2 a.b == |a - b|^2 on the unit sphere."""
+    rng = np.random.default_rng(7)
+    n = 48
+    b = _rand_desc(rng, n)
+    perm = rng.permutation(n)
+    a = b[perm] + 1e-4 * rng.standard_normal((n, 128)).astype(np.float32)
+
+    m_l2 = match_descriptors(jnp.asarray(a), jnp.ones(n, bool),
+                             jnp.asarray(b), jnp.ones(n, bool),
+                             MatchConfig(metric="l2", max_matches=64))
+    m_dot = match_descriptors(jnp.asarray(a), jnp.ones(n, bool),
+                              jnp.asarray(b), jnp.ones(n, bool),
+                              MatchConfig(metric="dot", max_matches=64))
+    np.testing.assert_array_equal(np.asarray(m_l2.valid),
+                                  np.asarray(m_dot.valid))
+    v = np.asarray(m_l2.valid)
+    np.testing.assert_array_equal(np.asarray(m_l2.idx_a)[v],
+                                  np.asarray(m_dot.idx_a)[v])
+    np.testing.assert_array_equal(np.asarray(m_l2.idx_b)[v],
+                                  np.asarray(m_dot.idx_b)[v])
