@@ -1,0 +1,187 @@
+"""Golden-file generator for the parity test suite (VERDICT r1 items 1/4/9).
+
+Produces, reproducibly:
+  tests/parity/golden_refsim.npz      — three synthetic cases (seeds 0/1/5),
+                                        keypoints + descriptors from refsim,
+                                        cross-checked bit-exactly against the
+                                        REBUILT reference binary.
+  tests/parity/golden_ref_parrot.npz  — the reference's own showcase image
+                                        (/root/reference/example/parrot.jpg,
+                                        README.md:8-11) at full 488x600
+                                        scale, from the rebuilt binary.
+
+"Rebuilt reference binary" = the UNMODIFIED /root/reference/sift.cpp +
+algorithms.cpp compiled against tools/refbuild/vigra_shim (see the Makefile
+there): real C++ semantics, shimmed Vigra math. The generator builds it with
+the local g++, runs both it and refsim on every case, and refuses to write a
+golden on any mismatch — so the committed goldens are grounded in compiled
+reference logic, not only in the Python oracle.
+
+Usage:  python tools/gen_golden.py [--check]
+  --check: regenerate in memory and compare against the committed files
+           (exit 1 on drift) without writing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import struct
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+import scipy.ndimage as ndi
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFBUILD = os.path.join(REPO, "tools", "refbuild")
+PARITY_DIR = os.path.join(REPO, "tests", "parity")
+PARROT = "/root/reference/example/parrot.jpg"
+
+sys.path.insert(0, REPO)
+from sift_tpu.oracle.refsim import refsim_extract  # noqa: E402
+
+
+def smooth_image(h, w, seed=0, scale=255.0):
+    """Identical to tests/parity/test_parity_pipeline.py::smooth_image."""
+    rng = np.random.RandomState(seed)
+    img = ndi.gaussian_filter(rng.rand(h, w), 2.0)
+    img -= img.min()
+    img /= img.max()
+    return (img * scale).astype(np.float32)
+
+
+def parrot_gray() -> np.ndarray:
+    """Vigra-importImage-equivalent luma: 0.299 R + 0.587 G + 0.114 B, f32."""
+    from PIL import Image
+    a = np.asarray(Image.open(PARROT).convert("RGB")).astype(np.float32)
+    return (0.299 * a[..., 0] + 0.587 * a[..., 1]
+            + 0.114 * a[..., 2]).astype(np.float32)
+
+
+def build_ref_binary() -> str:
+    exe = os.path.join(REFBUILD, "ref_sift")
+    subprocess.run(["make", "-s"], cwd=REFBUILD, check=True)
+    return exe
+
+
+def run_ref_binary(exe: str, img: np.ndarray, subpixel: bool):
+    """Run the rebuilt reference; returns list of keypoint tuples."""
+    h, w = img.shape
+    with tempfile.TemporaryDirectory() as td:
+        raw = os.path.join(td, "frame.raw")
+        out = os.path.join(td, "out.txt")
+        with open(raw, "wb") as f:
+            f.write(struct.pack("<ii", w, h))
+            f.write(img.astype(np.float32).tobytes())
+        subprocess.run([exe, raw, out, "1.6", repr(math.sqrt(2.0)), "4", "3",
+                        "1" if subpixel else "0"], check=True)
+        rows = []
+        for ln in open(out).read().strip().splitlines():
+            p = ln.split()
+            rows.append((int(p[0]), int(p[1]), int(p[2]), int(p[3]),
+                         float(p[4]), float(p[5]),
+                         np.array([float(x) for x in p[6:]], np.float32)))
+        return rows
+
+
+def refsim_rows(img: np.ndarray, subpixel: bool):
+    kps = refsim_extract(img, subpixel=subpixel)
+    return [(p.x, p.y, p.octave, p.level, p.scale, p.orientation,
+             p.desc if p.desc is not None else np.zeros(128, np.float32))
+            for p in kps]
+
+
+def assert_equal_sets(ref_rows, sim_rows, label):
+    rset = sorted((r[2], r[3], r[0], r[1]) for r in ref_rows)
+    sset = sorted((r[2], r[3], r[0], r[1]) for r in sim_rows)
+    if rset != sset:
+        raise AssertionError(
+            f"{label}: keypoint sets differ "
+            f"(rebuilt {len(rset)} vs refsim {len(sset)}; "
+            f"rebuilt-only {sorted(set(rset) - set(sset))[:5]}, "
+            f"refsim-only {sorted(set(sset) - set(rset))[:5]})")
+    smap = {(r[2], r[3], r[0], r[1]): r for r in sim_rows}
+    for r in ref_rows:
+        s = smap[(r[2], r[3], r[0], r[1])]
+        if abs(r[4] - s[4]) > 1e-5:
+            raise AssertionError(f"{label}: scale mismatch at {r[:4]}")
+        if not (math.isnan(r[5]) and math.isnan(s[5])) and \
+                abs(r[5] - s[5]) > 1e-4:
+            raise AssertionError(f"{label}: orientation mismatch at {r[:4]}")
+        d = float(np.abs(r[6] - s[6]).max()) if r[6].size == s[6].size else 1.0
+        if d > 1e-5:
+            raise AssertionError(
+                f"{label}: descriptor mismatch at {r[:4]} (max {d})")
+    print(f"  {label}: {len(ref_rows)} keypoints, rebuilt == refsim")
+
+
+def rows_to_arrays(rows):
+    kp = np.array([[r[2], r[3], r[0], r[1], r[4]] for r in rows], np.float32)
+    desc = np.stack([r[6] for r in rows]).astype(np.float32) \
+        if rows else np.zeros((0, 128), np.float32)
+    return kp, desc
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true")
+    args = ap.parse_args()
+
+    exe = build_ref_binary()
+
+    # --- synthetic cases (golden_refsim.npz) -----------------------------
+    cases = {
+        "s0_sub0": (smooth_image(44, 52, seed=0), False),
+        "s1_sub0": (smooth_image(44, 52, seed=1), False),
+        "s5_sub1": (smooth_image(30, 34, seed=5), True),
+    }
+    blob = {}
+    for key, (img, subpixel) in cases.items():
+        ref = run_ref_binary(exe, img, subpixel)
+        sim = refsim_rows(img, subpixel)
+        assert_equal_sets(ref, sim, key)
+        kp, desc = rows_to_arrays(ref)
+        blob[f"{key}_img"] = img
+        blob[f"{key}_kp"] = kp
+        blob[f"{key}_desc"] = desc
+
+    # --- parrot (golden_ref_parrot.npz) ----------------------------------
+    gray = parrot_gray()
+    ref = run_ref_binary(exe, gray, False)
+    sim = refsim_rows(gray, False)
+    assert_equal_sets(ref, sim, "parrot")
+    pkp, pdesc = rows_to_arrays(ref)
+    per_oct = np.bincount(pkp[:, 0].astype(int), minlength=4)
+    print(f"  parrot per-octave keypoints: {per_oct.tolist()}")
+    parrot_blob = {"kp": pkp, "desc": pdesc,
+                   "image_sha": np.frombuffer(
+                       __import__("hashlib").sha256(gray.tobytes()).digest(),
+                       np.uint8)}
+
+    golden_path = os.path.join(PARITY_DIR, "golden_refsim.npz")
+    parrot_path = os.path.join(PARITY_DIR, "golden_ref_parrot.npz")
+
+    if args.check:
+        ok = True
+        z = np.load(golden_path)
+        for k, v in blob.items():
+            if not np.array_equal(z[k], v):
+                print(f"DRIFT: {k}")
+                ok = False
+        z2 = np.load(parrot_path)
+        for k, v in parrot_blob.items():
+            if not np.array_equal(z2[k], v):
+                print(f"DRIFT: parrot/{k}")
+                ok = False
+        sys.exit(0 if ok else 1)
+
+    np.savez_compressed(golden_path, **blob)
+    np.savez_compressed(parrot_path, **parrot_blob)
+    print(f"wrote {golden_path} and {parrot_path}")
+
+
+if __name__ == "__main__":
+    main()
