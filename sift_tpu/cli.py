@@ -50,6 +50,11 @@ def _add_reference_flags(p: argparse.ArgumentParser) -> None:
                    help="'parity' replicates the reference's behaviour; "
                         "'lowe' is the correct Lowe-2004 pipeline")
     p.add_argument("--max-keypoints", type=int, default=1024)
+    p.add_argument("--max-keypoints-per-octave", type=int, default=None,
+                   help="per-octave candidate buffer capacity (default: "
+                        "SiftConfig's; raise when the saturation warning "
+                        "prints — e.g. parrot.jpg needs ~4096 in parity "
+                        "mode)")
     p.add_argument("--no-viz", action="store_true",
                    help="skip writing <img>_orientation.png")
     p.add_argument("--time", action="store_true", help="print wall-clock timings")
@@ -58,10 +63,13 @@ def _add_reference_flags(p: argparse.ArgumentParser) -> None:
 def _sift_config(args):
     from sift_tpu.config import SiftConfig
 
+    kw = {}
+    if getattr(args, "max_keypoints_per_octave", None) is not None:
+        kw["max_keypoints_per_octave"] = args.max_keypoints_per_octave
     return SiftConfig(
         sigma=args.sigma, k=args.k, octaves=args.octaves,
         dogs_per_epoch=args.dogs_per_epoch, subpixel=bool(args.subpixel),
-        mode=args.mode, max_keypoints=args.max_keypoints,
+        mode=args.mode, max_keypoints=args.max_keypoints, **kw,
     )
 
 
@@ -123,6 +131,13 @@ def cmd_extract(args) -> int:
     valid = kp["valid"]
     n = int(valid.sum())
     print(f"{n} interest points ({img_file}, mode={args.mode})")
+    if kp.get("n_dropped") is not None and int(kp["n_dropped"]) > 0:
+        print(f"warning: {int(kp['n_dropped'])} candidate keypoints "
+              f"exceeded the static buffer capacities and were dropped "
+              f"(weakest-response first). Raise --max-keypoints-per-octave/"
+              f"--max-keypoints; parity-mode output is NOT "
+              f"reference-faithful while this warning prints.",
+              file=sys.stderr)
     if args.time:
         print(f"extract wall time: {t1 - t0:.3f}s (includes compile on first call)")
 
@@ -161,6 +176,8 @@ def jax_to_host(kp):
                orientation=np.asarray(kp.orientation),
                valid=np.asarray(kp.valid))
     out["desc"] = np.asarray(kp.desc) if kp.desc is not None else None
+    out["n_dropped"] = (np.asarray(kp.n_dropped)
+                        if kp.n_dropped is not None else None)
     return out
 
 

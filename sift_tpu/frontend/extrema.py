@@ -58,6 +58,10 @@ def detect_extrema_octave(dogs: jnp.ndarray, cfg: SiftConfig,
     in parity mode (golden tests must not truncate).
 
     Scans interior levels 1..L-2 (the reference's loop bound, sift.cpp:353).
+
+    Also returns `n_dropped`, a scalar int32 counting true candidates that
+    did not fit in the K-slot buffer (0 when the cap is sized safely —
+    parity goldens require that; the CLI warns at runtime when nonzero).
     """
     parity = cfg.mode == "parity"
     L, H, W = dogs.shape
@@ -110,12 +114,15 @@ def detect_extrema_octave(dogs: jnp.ndarray, cfg: SiftConfig,
         top_idx = jnp.pad(top_idx, (0, K - k_eff))
     valid = top_scores >= 0.0
 
+    n_cand = jnp.sum(mask.astype(jnp.int32))
+    n_dropped = jnp.maximum(n_cand - jnp.sum(valid.astype(jnp.int32)), 0)
+
     lvl = top_idx // (H * W) + 1
     rem = top_idx % (H * W)
     y = rem // W
     x = rem % W
     return (x.astype(jnp.float32), y.astype(jnp.float32),
-            lvl.astype(jnp.int32), top_scores, valid)
+            lvl.astype(jnp.int32), top_scores, valid, n_dropped)
 
 
 def detect_extrema(pyr: Pyramid, cfg: SiftConfig):
@@ -124,17 +131,20 @@ def detect_extrema(pyr: Pyramid, cfg: SiftConfig):
     Returns dict of (octaves*K,) arrays: x, y, octave, level, scale, score, valid.
     """
     xs, ys, lvls, octs, scales, scores, valids = [], [], [], [], [], [], []
+    dropped = jnp.asarray(0, jnp.int32)
     for o in range(pyr.num_octaves):
-        x, y, lvl, score, valid = detect_extrema_octave(pyr.dogs[o], cfg, o)
+        x, y, lvl, score, valid, n_drop = detect_extrema_octave(
+            pyr.dogs[o], cfg, o)
         xs.append(x); ys.append(y); lvls.append(lvl)
         octs.append(jnp.full_like(lvl, o))
         # keypoint "scale" = recorded DoG scale of its level (sift.cpp:373)
         sigma_table = jnp.asarray(pyr.dog_sigmas[o], jnp.float32)
         scales.append(sigma_table[lvl])
         scores.append(score); valids.append(valid)
+        dropped = dropped + n_drop
     return dict(
         x=jnp.concatenate(xs), y=jnp.concatenate(ys),
         octave=jnp.concatenate(octs), level=jnp.concatenate(lvls),
         scale=jnp.concatenate(scales), score=jnp.concatenate(scores),
-        valid=jnp.concatenate(valids),
+        valid=jnp.concatenate(valids), n_dropped=dropped,
     )

@@ -129,8 +129,11 @@ def extract_parity(img: jnp.ndarray, cfg: SiftConfig) -> Keypoints:
 
     # detection + refinement per octave
     buffers = []
+    dropped = jnp.asarray(0, jnp.int32)
     for o in range(O):
-        x, y, lvl, score, valid = detect_extrema_octave(pyr.dogs[o], cfg)
+        x, y, lvl, score, valid, n_drop = detect_extrema_octave(
+            pyr.dogs[o], cfg)
+        dropped = dropped + n_drop
         cand = dict(x=x, y=y, level=lvl, score=score, valid=valid,
                     octave=jnp.full_like(lvl, o),
                     scale=jnp.asarray(pyr.dog_sigmas[o], jnp.float32)[lvl])
@@ -138,6 +141,21 @@ def extract_parity(img: jnp.ndarray, cfg: SiftConfig) -> Keypoints:
         buffers.append(cand)
     kp = {k: jnp.concatenate([b[k] for b in buffers]) for k in buffers[0]}
     kp = _canonical_sort(kp)
+
+    # Compact to the global survivor capacity before the per-keypoint
+    # stages: the canonical sort puts valid slots first, so truncation only
+    # drops invalid padding unless the survivor count exceeds
+    # cfg.max_keypoints — which is counted into n_dropped (the candidate
+    # buffers above are sized for the permissive ties-allowed extrema test,
+    # e.g. ~18k raw candidates on parrot.jpg octave 0, of which ~1.4k
+    # survive refinement; scanning descriptor mutation over all raw slots
+    # would waste 10x+ compute).
+    N = cfg.max_keypoints
+    if kp["x"].shape[0] > N:
+        n_valid_all = jnp.sum(kp["valid"].astype(jnp.int32))
+        kp = {k: v[:N] for k, v in kp.items()}
+        kept = jnp.sum(kp["valid"].astype(jnp.int32))
+        dropped = dropped + jnp.maximum(n_valid_all - kept, 0)
 
     # magnitude/orientation pyramids (sift.cpp:130-160), padded stacks
     h0, w0 = pyr.gauss[0].shape[-2:]
@@ -172,5 +190,5 @@ def extract_parity(img: jnp.ndarray, cfg: SiftConfig) -> Keypoints:
     return Keypoints(
         x=kp["x"], y=kp["y"], octave=kp["octave"], level=kp["level"],
         scale=kp["scale"], score=kp["score"], orientation=kp["orientation"],
-        valid=valid, desc=desc,
+        valid=valid, desc=desc, n_dropped=dropped,
     )

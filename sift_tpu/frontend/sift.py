@@ -59,8 +59,11 @@ def extract_lowe(img: jnp.ndarray, cfg: SiftConfig,
     buffers = {f: [] for f in fields}
     descs = []
 
+    dropped = jnp.asarray(0, jnp.int32)
     for o in range(pyr.num_octaves):
-        x, y, lvl, score, valid = detect_extrema_octave(pyr.dogs[o], cfg, o)
+        x, y, lvl, score, valid, n_drop = detect_extrema_octave(
+            pyr.dogs[o], cfg, o)
+        dropped = dropped + n_drop
         cand = dict(x=x, y=y, level=lvl, score=score, valid=valid)
         cand = refine_octave_lowe(pyr.dogs[o], cand, cfg, pyr.dog_sigmas,
                                   o, octave_factor)
@@ -132,12 +135,19 @@ def extract_lowe(img: jnp.ndarray, cfg: SiftConfig,
     rank_score = jnp.where(kp["valid"], kp["score"], -jnp.inf)
     top_scores, idx = lax.top_k(rank_score, min(N, rank_score.shape[0]))
     take = lambda a: a[idx]
+    out_valid = take(kp["valid"]) & jnp.isfinite(top_scores)
+    # saturation: octave-stage truncation plus valid keypoints that did not
+    # survive the global top-K
+    dropped = dropped + jnp.maximum(
+        jnp.sum(kp["valid"].astype(jnp.int32))
+        - jnp.sum(out_valid.astype(jnp.int32)), 0)
     out = Keypoints(
         x=take(kp["x"]), y=take(kp["y"]), octave=take(kp["octave"]),
         level=take(kp["level"]), scale=take(kp["scale"]),
         score=take(kp["score"]), orientation=take(kp["orientation"]),
-        valid=take(kp["valid"]) & jnp.isfinite(top_scores),
+        valid=out_valid,
         desc=take(desc) if desc is not None else None,
+        n_dropped=dropped,
     )
     return out
 

@@ -36,6 +36,11 @@ class Keypoints:
       orientation: float32 degrees in [0, 360).
       valid:       bool mask.
       desc:        optional (N, 128) float32 descriptors.
+      n_dropped:   optional scalar int32 — candidates that did not fit in a
+                   fixed-capacity stage (per-octave detection buffers or the
+                   global compaction). Nonzero means the output silently
+                   truncates the true keypoint set: parity comparisons are
+                   invalid and the CLI warns.
     """
 
     x: jnp.ndarray
@@ -47,6 +52,7 @@ class Keypoints:
     orientation: jnp.ndarray
     valid: jnp.ndarray
     desc: Optional[jnp.ndarray] = None
+    n_dropped: Optional[jnp.ndarray] = None
 
     @property
     def capacity(self) -> int:
