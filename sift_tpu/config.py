@@ -57,10 +57,17 @@ class SiftConfig:
     # (vigra::importImage, main.cpp:52-54); parity mode requires this.
     image_max: float = 255.0
 
+    # Pallas TPU kernels for the hot stages (kernels/pallas/): "auto" uses
+    # them on TPU backends and the XLA formulation elsewhere; "on"/"off"
+    # force the choice ("on" off-TPU runs the slow Pallas interpreter —
+    # test-only).
+    pallas: str = "auto"
+
     def __post_init__(self):
         assert self.octaves > 0, "octaves must be positive (ref sift.cpp:382)"
         assert self.dogs_per_epoch >= 3, "dogsPerEpoch >= 3 (ref sift.cpp:383)"
         assert self.mode in ("lowe", "parity")
+        assert self.pallas in ("auto", "on", "off")
 
     @property
     def gaussians_per_octave(self) -> int:
@@ -91,6 +98,7 @@ class RansacConfig:
     inlier_threshold: float = 2.0   # pixels (model-dependent interpretation)
     min_inliers: int = 15
     refit: bool = True              # weighted least-squares refit on inliers
+    essential_solver: str = "5pt"   # "5pt" minimal | "8pt" linear
 
     def replace(self, **kw) -> "RansacConfig":
         return dataclasses.replace(self, **kw)
@@ -151,6 +159,20 @@ class PipelineConfig:
     # padded up to these).
     ba_max_landmarks: int = 2048
     ba_max_observations: int = 8192
+
+    # Tracking-time window BA budget. Promotions during tracking warm-start
+    # from the previous window's solution, so a few LM iterations suffice;
+    # the full cfg.ba budget still runs at bootstrap (cold start). Set to 0
+    # to use the full budget everywhere.
+    ba_tracking_iterations: int = 8
+    ba_tracking_cg: int = 20
+
+    # Deferred (asynchronous) window BA: dispatch the BA program but don't
+    # block on its results; they are applied before the state is next
+    # needed (next promotion / pose-graph run / finalize()). Hides the BA
+    # latency behind subsequent frames' tracking — the standard
+    # local-mapping-thread design, expressed as JAX async dispatch.
+    ba_async: bool = False
 
     # Bootstrap / keyframe policy.
     min_bootstrap_matches: int = 40

@@ -32,7 +32,7 @@ from sift_tpu.config import PipelineConfig
 from sift_tpu.types import Keypoints
 from sift_tpu.frontend.sift import extract
 from sift_tpu.matching.matcher import match_descriptors
-from sift_tpu.geometry import lie
+from sift_tpu.geometry import lie, lie_np
 from sift_tpu.geometry.epipolar import estimate_relative_pose
 from sift_tpu.geometry.triangulation import triangulate_dlt
 from sift_tpu.ba.pose_only import pose_ransac_refine
@@ -48,11 +48,16 @@ def _np_kp(kp: Keypoints, subpixel: bool = False) -> Dict[str, np.ndarray]:
     mapping divides by 2 (reference rule, main.cpp:62-63) — dropping the
     divisor would feed localization/triangulation coordinates at 2x the
     intrinsics' scale.
+
+    Transfer discipline (the host loop is transfer-bound on tunneled
+    backends): the small metadata fields come down in ONE `device_get`;
+    the 512 KB descriptor buffer STAYS ON DEVICE — every consumer of
+    `d["desc"]` is itself a device computation (matching), and the few
+    host-side consumers (save_map) convert explicitly.
     """
-    d = dict(x=np.asarray(kp.x), y=np.asarray(kp.y),
-             valid=np.asarray(kp.valid), desc=np.asarray(kp.desc),
-             octave=np.asarray(kp.octave))
-    factor = np.exp2(d["octave"].astype(np.float64))
+    x, y, valid, octave = jax.device_get((kp.x, kp.y, kp.valid, kp.octave))
+    d = dict(x=x, y=y, valid=valid, octave=octave, desc=kp.desc)
+    factor = np.exp2(octave.astype(np.float64))
     if subpixel:
         factor = factor / 2.0
     d["u"] = d["x"] * factor
@@ -60,38 +65,23 @@ def _np_kp(kp: Keypoints, subpixel: bool = False) -> Dict[str, np.ndarray]:
     return d
 
 
+# Host-side 6-dof pose arithmetic uses the numpy lie mirrors: a jitted call
+# for a single (6,) op costs a full device dispatch (~26 ms RTT on a
+# tunneled backend) for nanoseconds of math. lie_np is equivalence-tested
+# against the JAX ops (tests/unit/test_lie.py::TestNumpyMirror).
 def _se3_exp_np(xi):
-    R, t = lie.se3_exp(jnp.asarray(xi, jnp.float32))
-    return np.asarray(R), np.asarray(t)
+    return lie_np.se3_exp(np.asarray(xi, np.float32))
 
 
-@jax.jit
-def _rel_pose_jit(xi_i, xi_j):
-    Ri, ti = lie.se3_exp(xi_i)
-    Rj, tj = lie.se3_exp(xi_j)
-    Rii, tii = lie.se3_inverse(Ri, ti)
-    R, t = lie.se3_compose(Rii, tii, Rj, tj)
-    return lie.se3_log(R, t)
-
-
-@jax.jit
-def _pose_deltas_jit(old, new):
-    """Batched rigid corrections T_new T_old^-1: (N,6)x(N,6) -> (N,3,3),(N,3)."""
-    Ro, to = lie.se3_exp(old)
-    Rn, tn = lie.se3_exp(new)
-    Roi, toi = lie.se3_inverse(Ro, to)
-    return lie.se3_compose(Rn, tn, Roi, toi)
+def _se3_log_np(R, t):
+    return lie_np.se3_log(np.asarray(R, np.float32),
+                          np.asarray(t, np.float32))
 
 
 @jax.jit
 def _pgo_jit(graph):
     from sift_tpu.slam.pose_graph import optimize_pose_graph
     return optimize_pose_graph(graph, iterations=15)
-
-
-def _se3_log_np(R, t):
-    return np.asarray(lie.se3_log(jnp.asarray(R, jnp.float32),
-                                  jnp.asarray(t, jnp.float32)))
 
 
 class Keyframe:
@@ -134,6 +124,11 @@ class SfmPipeline:
         # loop-closure edges; optimized on every accepted closure.
         self.pose_edges: List[Dict] = []
         self.num_loop_closures = 0
+
+        # Local-map cache: rebuilt only when the observation graph changes
+        # (promotion / landmark fusion / load), not every tracked frame.
+        self._map_version = 0
+        self._local_map_cache = None
 
         self._build_jit_stages()
 
@@ -180,8 +175,39 @@ class SfmPipeline:
             uv, z = project_cam(pose, K, lms)
             return uv, z
 
+        uv_div = 2.0 if cfg.sift.subpixel else 1.0
+
+        @jax.jit
+        def _track_local(key, init_pose, desc_ref, valid_ref, lms_ref, kp):
+            """Fused per-frame tracking: landmark projection -> guided
+            matching -> robust pose refinement in ONE device dispatch.
+
+            The per-frame loop is dispatch- and transfer-bound on remote
+            backends: fusing the three stages removes two round trips, the
+            frame's Keypoints pytree `kp` never leaves the device (pixel
+            coordinates are derived from level coords in here), and the
+            result is ONE packed (8,) buffer — pose (6), inlier count,
+            rmse — so the host pays a single read per tracked frame.
+            """
+            uv_pred, z = project_cam(init_pose, K, lms_ref)
+            has_pred = valid_ref & (z > 1e-6)
+            factor = jnp.exp2(kp.octave.astype(jnp.float32)) / uv_div
+            uv_b = jnp.stack([kp.x * factor, kp.y * factor], -1)
+            m = match_descriptors_guided(
+                desc_ref, valid_ref, kp.desc, kp.valid,
+                uv_pred, has_pred, uv_b, cfg.guided_radius, cfg.match)
+            # masked 2D-3D correspondences straight from the match buffer
+            lms = lms_ref[m.idx_a]
+            uv = uv_b[m.idx_b]
+            pose, inliers, rmse = pose_ransac_refine(
+                key, init_pose, K, lms, uv, m.valid,
+                delta=cfg.ransac.inlier_threshold)
+            n_inl = jnp.sum(inliers.astype(jnp.int32)).astype(jnp.float32)
+            return jnp.concatenate([pose, n_inl[None], rmse[None]])
+
         self._jit_guided_match = _guided_match
         self._jit_project = _project
+        self._jit_track_local = _track_local
 
         fx, fy, cx, cy = self.K
         focal = float((fx + fy) * 0.5)
@@ -264,10 +290,20 @@ class SfmPipeline:
             return X, good
 
         ba_cfg = cfg.ba
+        if cfg.ba_tracking_iterations > 0:
+            ba_cfg_track = ba_cfg.replace(
+                max_iterations=cfg.ba_tracking_iterations,
+                cg_iterations=cfg.ba_tracking_cg)
+        else:
+            ba_cfg_track = ba_cfg
 
         @functools.partial(jax.jit, static_argnums=())
         def _window_ba(poses, lms, oc, ol, ouv, ov, fixed):
             return run_ba(poses, K, lms, oc, ol, ouv, ov, ba_cfg, fixed)
+
+        @functools.partial(jax.jit, static_argnums=())
+        def _window_ba_track(poses, lms, oc, ol, ouv, ov, fixed):
+            return run_ba(poses, K, lms, oc, ol, ouv, ov, ba_cfg_track, fixed)
 
         self._jit_extract = _extract
         self._jit_match = _match
@@ -275,6 +311,8 @@ class SfmPipeline:
         self._jit_localize = _localize
         self._jit_triangulate = _triangulate
         self._jit_window_ba = _window_ba
+        self._jit_window_ba_track = _window_ba_track
+        self._pending_ba = None   # (BAState device handle, window kfs, uniq, L)
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -295,19 +333,19 @@ class SfmPipeline:
         """
         self._frame_idx += 1
         kp_dev = self._jit_extract(jnp.asarray(gray, jnp.float32))
-        kp = _np_kp(kp_dev, self.cfg.sift.subpixel)
         if right is not None:
             assert self.stereo_baseline is not None, \
                 "pass stereo_baseline= to SfmPipeline for stereo input"
             kp_r = self._jit_extract(jnp.asarray(right, jnp.float32))
             depth = np.asarray(self._jit_stereo(kp_dev, kp_r))
         if self.state == "bootstrap":
+            kp = _np_kp(kp_dev, self.cfg.sift.subpixel)
             if depth is not None:
                 out = self._bootstrap_rgbd(kp, depth)
             else:
                 out = self._bootstrap_step(kp)
         else:
-            out = self._tracking_step(kp, depth)
+            out = self._tracking_step(kp_dev, depth)
         out["frame_idx"] = self._frame_idx
         self.trajectory.append(out)
         if self.logger is not None:
@@ -393,17 +431,16 @@ class SfmPipeline:
             pad = batch - len(chunk)
             imgs = np.stack(chunk + [chunk[-1]] * pad)
             kp_batch = _extract_batch(jnp.asarray(imgs))
-            kp_host = jax.device_get(kp_batch)
             for bi in range(len(chunk)):
-                kp_i = jax.tree.map(lambda a: a[bi], kp_host)
-                kp = _np_kp(kp_i, cfg.sift.subpixel)
+                kp_i = jax.tree.map(lambda a: a[bi], kp_batch)
                 self._frame_idx += 1
                 depth = depths[start + bi] if depths is not None else None
                 if self.state == "bootstrap":
+                    kp = _np_kp(kp_i, cfg.sift.subpixel)
                     out = (self._bootstrap_rgbd(kp, depth) if depth is not None
                            else self._bootstrap_step(kp))
                 else:
-                    out = self._tracking_step(kp, depth)
+                    out = self._tracking_step(kp_i, depth)
                 out["frame_idx"] = self._frame_idx
                 self.trajectory.append(out)
                 results.append(out)
@@ -411,6 +448,7 @@ class SfmPipeline:
                     self.logger.log("frame", **{
                         k: v for k, v in out.items()
                         if not isinstance(v, np.ndarray)})
+        self.finalize()
         return results
 
     # ------------------------------------------------------ save / resume
@@ -418,6 +456,7 @@ class SfmPipeline:
         """Serialize the full SLAM state (keyframes, landmarks, pose graph)
         to one .npz — the checkpoint/resume path for resumable incremental
         SfM (SURVEY.md §5)."""
+        self._flush_ba()
         arrays = dict(
             landmarks=self.landmarks,
             lm_ref_kf=self.lm_ref_kf,
@@ -459,9 +498,13 @@ class SfmPipeline:
         for i in range(int(z["n_keyframes"])):
             kp = {f: z[f"kf{i}_{f}"]
                   for f in ("x", "y", "valid", "desc", "octave", "u", "v")}
+            # Descriptors live on device (matching consumes them there).
+            kp["desc"] = jnp.asarray(kp["desc"])
             kf = Keyframe(int(z[f"kf{i}_frame"]), z[f"kf{i}_pose"], kp)
             kf.kp_lm = z[f"kf{i}_lm"]
             self.keyframes.append(kf)
+        self._map_version += 1
+        self._local_map_cache = None
         self.pose_edges = [
             dict(i=int(z["edges_i"][k]), j=int(z["edges_j"][k]),
                  z=z["edges_z"][k], w=float(z["edges_w"][k]),
@@ -621,67 +664,68 @@ class SfmPipeline:
     def _build_local_map(self):
         """Deduplicated (descriptor, landmark-id) union of the window's
         keyframe observations, recent-first, padded to the static
-        `local_map_size`. Returns (desc (M, D), valid (M,), lm_ids (M,))."""
-        cfg = self.cfg
-        window = self.keyframes[-cfg.window_size:]
-        ids, descs = [], []
-        for kf in reversed(window):          # recent observations win dedup
-            slots = np.nonzero(kf.kp_lm >= 0)[0]
-            ids.append(kf.kp_lm[slots])
-            descs.append(kf.kp["desc"][slots])
-        if not ids:
-            return None
-        ids = np.concatenate(ids)
-        descs = np.concatenate(descs)
-        if ids.shape[0] == 0:
-            return None
-        # first occurrence (== most recent observation) per landmark
-        _, first = np.unique(ids, return_index=True)
-        first = np.sort(first)[:cfg.local_map_size]
-        M = cfg.local_map_size
-        D = descs.shape[1]
-        out_desc = np.zeros((M, D), np.float32)
-        out_ids = np.zeros((M,), np.int64)
-        out_valid = np.zeros((M,), bool)
-        k = first.shape[0]
-        out_desc[:k] = descs[first]
-        out_ids[:k] = ids[first]
-        out_valid[:k] = True
-        return out_desc, out_valid, out_ids
+        `local_map_size`. Returns (desc (M, D) ON DEVICE, valid (M,),
+        lm_ids (M,)).
 
-    def _localize_local_map(self, kp, init_pose):
+        Descriptors never touch the host: per-keyframe device buffers are
+        concatenated and the deduplicated rows selected with ONE device
+        gather via a host-computed fixed-size index vector. The result is
+        cached until the map version changes (promotion / fusion / load) —
+        tracking frames between promotions reuse it for free.
+        """
+        cfg = self.cfg
+        if self._local_map_cache is not None and \
+                self._local_map_cache[0] == self._map_version:
+            return self._local_map_cache[1]
+
+        window = self.keyframes[-cfg.window_size:]
+        ids, rows = [], []
+        for wi, kf in enumerate(reversed(window)):   # recent wins dedup
+            slots = np.nonzero(kf.kp_lm >= 0)[0]
+            n = kf.kp["x"].shape[0]
+            ids.append(kf.kp_lm[slots])
+            rows.append(wi * n + slots)              # rows into the concat
+        result = None
+        if ids:
+            ids = np.concatenate(ids)
+            rows = np.concatenate(rows)
+            if ids.shape[0] > 0:
+                # first occurrence == most recent observation per landmark
+                _, first = np.unique(ids, return_index=True)
+                first = np.sort(first)[:cfg.local_map_size]
+                M = cfg.local_map_size
+                k = first.shape[0]
+                sel_rows = np.zeros((M,), np.int32)
+                sel_rows[:k] = rows[first]
+                out_ids = np.zeros((M,), np.int64)
+                out_ids[:k] = ids[first]
+                out_valid = np.zeros((M,), bool)
+                out_valid[:k] = True
+                window_desc = jnp.concatenate(
+                    [kf.kp["desc"] for kf in reversed(window)], axis=0)
+                out_desc = window_desc[jnp.asarray(sel_rows)]   # (M, D) dev
+                result = (out_desc, out_valid, out_ids)
+        self._local_map_cache = (self._map_version, result)
+        return result
+
+    def _localize_local_map(self, kp_dev: Keypoints, init_pose):
         """Guided association against the local map; returns
-        (pose, n_inliers, rmse) or None when no local map exists."""
+        (pose, n_inliers, rmse) or None when no local map exists.
+
+        One fused device dispatch (projection -> guided match -> robust
+        pose GN) and ONE packed (8,) read; the host only assembles the
+        (cached) local-map buffers and gathers current landmark positions."""
         local = self._build_local_map()
         if local is None:
             return None
         desc_ref, valid_ref, lm_ids = local
         lms_ref = self.landmarks[np.clip(lm_ids, 0,
                                          max(self.landmarks.shape[0] - 1, 0))]
-        uv_pred, z = self._jit_project(jnp.asarray(init_pose),
-                                       jnp.asarray(lms_ref))
-        has_pred = jnp.asarray(valid_ref) & (z > 1e-6)
-        uv_b = jnp.asarray(
-            np.stack([kp["u"], kp["v"]], -1).astype(np.float32))
-        m = self._jit_guided_match(
-            jnp.asarray(desc_ref), jnp.asarray(valid_ref),
-            uv_pred, has_pred,
-            jnp.asarray(kp["desc"]), jnp.asarray(kp["valid"]), uv_b)
-        valid = np.asarray(m.valid)
-        ia, ib = np.asarray(m.idx_a), np.asarray(m.idx_b)
-        sel = np.nonzero(valid)[0]           # every row IS a landmark
-        cap = self.cfg.match.max_matches
-        lms = np.zeros((cap, 3), np.float32)
-        uv = np.zeros((cap, 2), np.float32)
-        lms[:sel.shape[0]] = self.landmarks[lm_ids[ia[sel]]]
-        uv[:sel.shape[0], 0] = kp["u"][ib[sel]]
-        uv[:sel.shape[0], 1] = kp["v"][ib[sel]]
-        pvalid = np.zeros(cap, bool)
-        pvalid[:sel.shape[0]] = True
-        pose, inliers, rmse = self._jit_localize(
-            self._next_key(), jnp.asarray(init_pose), jnp.asarray(lms),
-            jnp.asarray(uv), jnp.asarray(pvalid))
-        return np.asarray(pose), int(np.asarray(inliers).sum()), float(rmse)
+        packed = np.asarray(self._jit_track_local(
+            self._next_key(), jnp.asarray(init_pose),
+            desc_ref, jnp.asarray(valid_ref),
+            jnp.asarray(lms_ref.astype(np.float32)), kp_dev))
+        return packed[:6].astype(np.float32), int(packed[6]), float(packed[7])
 
     def _predicted_pose(self) -> np.ndarray:
         """Constant-velocity prediction: advance the last tracked pose by the
@@ -693,22 +737,33 @@ class SfmPipeline:
         p2 = np.asarray(tracked[-1]["pose"], np.float32)
         p1 = np.asarray(tracked[-2]["pose"], np.float32)
         vel = self._rel_pose(p1, p2)
-        return np.asarray(lie.boxplus(jnp.asarray(p2), jnp.asarray(vel)),
-                          np.float32)
+        return lie_np.boxplus(p2, vel).astype(np.float32)
 
-    def _tracking_step(self, kp, depth: Optional[np.ndarray] = None) -> Dict:
+    def _tracking_step(self, kp_dev: Keypoints,
+                       depth: Optional[np.ndarray] = None) -> Dict:
+        """`kp_dev` is the device Keypoints pytree. The host keypoint dict
+        is materialized LAZILY — a frame that tracks against the cached
+        local map and is not promoted never transfers keypoint buffers at
+        all (one packed (8,) read is its entire device->host traffic)."""
+        kp_cache: Dict = {}
+
+        def kp():
+            if "v" not in kp_cache:
+                kp_cache["v"] = _np_kp(kp_dev, self.cfg.sift.subpixel)
+            return kp_cache["v"]
+
         kf = self.keyframes[-1]
         pred = self._predicted_pose()
         kf_assoc = None          # lazy: only promotions need the kf match
         if self.cfg.use_local_map:
-            hit = self._localize_local_map(kp, pred)
+            hit = self._localize_local_map(kp_dev, pred)
         else:
             hit = None
         if hit is not None:
             pose, n_inl, rmse = hit
         else:
             pose, inliers, rmse, m, sel, lm_of_match, n_inl = \
-                self._match_and_localize(kp, kf, pred, guided=True)
+                self._match_and_localize(kp(), kf, pred, guided=True)
             kf_assoc = (m, inliers, sel, lm_of_match)
         tracked = n_inl >= self.cfg.keyframe_min_inliers // 2
         self._frames_since_kf += 1
@@ -716,14 +771,14 @@ class SfmPipeline:
         if not tracked:
             self._frames_lost += 1
             if self._frames_lost >= self.cfg.reloc_after_lost:
-                hit = self._attempt_relocalization(kp)
+                hit = self._attempt_relocalization(kp())
                 if hit is not None:
                     oi, pose, m, inliers, sel, lm_of_match = hit
                     n_inl = int(inliers.sum())
                     tracked = True
                     # Promote immediately against the reloc reference so
                     # subsequent frames track from a fresh keyframe.
-                    self._promote_keyframe(kp, pose, m, inliers, sel,
+                    self._promote_keyframe(kp(), pose, m, inliers, sel,
                                            lm_of_match, depth,
                                            ref_kf=self.keyframes[oi])
                     self._frames_since_kf = 0
@@ -743,10 +798,10 @@ class SfmPipeline:
                 # + 2D-2D triangulation) needs the keyframe-aligned match;
                 # run it now, seeded by the local-map pose.
                 pose, inliers, rmse, m, sel, lm_of_match, _ = \
-                    self._match_and_localize(kp, kf, pose, guided=True)
+                    self._match_and_localize(kp(), kf, pose, guided=True)
             else:
                 m, inliers, sel, lm_of_match = kf_assoc
-            self._promote_keyframe(kp, pose, m, inliers, sel, lm_of_match,
+            self._promote_keyframe(kp(), pose, m, inliers, sel, lm_of_match,
                                    depth)
             self._frames_since_kf = 0
             pose = self.keyframes[-1].pose
@@ -759,6 +814,7 @@ class SfmPipeline:
                           ref_kf: Optional[Keyframe] = None):
         """`ref_kf`: the keyframe the match `m` was computed against
         (defaults to the last keyframe; relocalization passes its hit)."""
+        self._flush_ba()     # promotion reads/writes poses + landmarks
         kf_prev = ref_kf if ref_kf is not None else self.keyframes[-1]
         valid = np.asarray(m.valid)
         ia, ib = np.asarray(m.idx_a), np.asarray(m.idx_b)
@@ -809,6 +865,7 @@ class SfmPipeline:
         if created > 0:
             self.lm_ref_kf = np.concatenate(
                 [self.lm_ref_kf, np.full(created, new_idx, np.int64)])
+        self._map_version += 1         # invalidate the local-map cache
         self._add_odometry_edge(new_idx - 1, new_idx)
         if self.cfg.enable_loop_closure:
             self._try_loop_closure(new_idx)
@@ -820,9 +877,9 @@ class SfmPipeline:
 
     # ------------------------------------------------- pose graph / loops
     def _rel_pose(self, xi_i: np.ndarray, xi_j: np.ndarray) -> np.ndarray:
-        """log(T_i^-1 T_j) as numpy (6,)."""
-        return np.asarray(_rel_pose_jit(jnp.asarray(xi_i),
-                                        jnp.asarray(xi_j)))
+        """log(T_i^-1 T_j) as numpy (6,) — pure host math, no dispatch."""
+        return lie_np.rel_pose(np.asarray(xi_i, np.float32),
+                               np.asarray(xi_j, np.float32))
 
     def _add_odometry_edge(self, i: int, j: int, weight: float = 1.0):
         # z is refreshed from the *current* poses at every optimization —
@@ -908,6 +965,7 @@ class SfmPipeline:
         return-path re-triangulation of the same physical point) has every
         reference to the duplicate remapped to the old id, fusing the map.
         """
+        self._map_version += 1         # kp_lm changes invalidate the cache
         cur = new_kf.kp_lm[new_slots]
         adopt = cur < 0
         new_kf.kp_lm[new_slots[adopt]] = old_lm_ids[adopt]
@@ -934,6 +992,7 @@ class SfmPipeline:
         """Optimize all keyframe poses over the accumulated edge set (padded
         static shapes), then re-anchor landmarks by their creating keyframe's
         correction."""
+        self._flush_ba()
         from sift_tpu.slam.pose_graph import PoseGraph
 
         cfg = self.cfg
@@ -967,9 +1026,8 @@ class SfmPipeline:
 
         # Apply corrections: keyframe poses, then landmarks via the rigid
         # delta of their creating keyframe (T_new T_old^-1), batched.
-        Rd, td = _pose_deltas_jit(jnp.asarray(np.pad(
-            old_poses, ((0, N - n), (0, 0)))), jnp.asarray(out))
-        Rd, td = np.asarray(Rd), np.asarray(td)
+        Rd, td = lie_np.pose_deltas(
+            np.pad(old_poses, ((0, N - n), (0, 0))), out)
         for k in range(n):
             self.keyframes[k].pose = out[k]
         ref = self.lm_ref_kf
@@ -1036,10 +1094,23 @@ class SfmPipeline:
         fixed[:min(fix_first_n, len(window))] = True
         fixed[len(window):] = True          # unused slots pinned
 
-        st = self._jit_window_ba(jnp.asarray(poses), jnp.asarray(lms),
-                                 jnp.asarray(obs_cam), jnp.asarray(obs_lm),
-                                 jnp.asarray(obs_uv), jnp.asarray(obs_valid),
-                                 jnp.asarray(fixed))
+        ba_fn = (self._jit_window_ba_track
+                 if self.state == "tracking" else self._jit_window_ba)
+        st = ba_fn(jnp.asarray(poses), jnp.asarray(lms),
+                   jnp.asarray(obs_cam), jnp.asarray(obs_lm),
+                   jnp.asarray(obs_uv), jnp.asarray(obs_valid),
+                   jnp.asarray(fixed))
+        if self.cfg.ba_async:
+            # Deferred: JAX dispatch is asynchronous — keep the device
+            # handles and apply the results before the map state is next
+            # mutated (next promotion / PGO / finalize). Tracking frames in
+            # between run against the pre-BA poses, which a window's worth
+            # of robust localization tolerates by design.
+            self._pending_ba = (st, list(window), uniq, L, O)
+            return
+        self._apply_ba_result(st, window, uniq, L, O)
+
+    def _apply_ba_result(self, st, window, uniq, L, O):
         new_poses = np.asarray(st.poses)
         new_lms = np.asarray(st.landmarks)
         for ci, kf in enumerate(window):
@@ -1048,3 +1119,14 @@ class SfmPipeline:
         if self.logger is not None:
             self.logger.log("window_ba", rmse=float(st.rmse),
                             iters=int(st.iterations), n_obs=O, n_lms=L)
+
+    def _flush_ba(self):
+        """Apply a deferred window-BA result, if any."""
+        if self._pending_ba is not None:
+            st, window, uniq, L, O = self._pending_ba
+            self._pending_ba = None
+            self._apply_ba_result(st, window, uniq, L, O)
+
+    def finalize(self):
+        """Flush deferred work (async window BA). Call at sequence end."""
+        self._flush_ba()

@@ -176,3 +176,20 @@ def test_rgbd_from_pixels_metric(frames):
     # Depth fixes the scale: rigid alignment, metric tolerance.
     ate = ate_rmse(est, gt, align=True, with_scale=False)
     assert ate < 0.03, ate
+
+@pytest.mark.slow
+def test_async_deferred_ba_keeps_accuracy(frames):
+    """ba_async=True defers window-BA application to the next promotion /
+    finalize; with the reduced tracking budget the trajectory must stay
+    within the same ATE bound as the synchronous path."""
+    cfg = _cfg().replace(ba_async=True, ba_tracking_iterations=6,
+                         ba_tracking_cg=15)
+    pipe = SfmPipeline(INTR, cfg)
+    for f in frames:
+        pipe.process_frame(f)
+    pipe.finalize()
+    assert pipe.state == "tracking"
+    assert pipe._pending_ba is None
+    gt = np.stack([[STEP * i, 0.0, 0.0] for i in range(N_FRAMES)])
+    ate = ate_rmse(pipe.positions(), gt, align=True, with_scale=True)
+    assert ate < 0.05, ate

@@ -68,3 +68,54 @@ def test_transform_matches_matrix():
     T = np.asarray(lie.se3_matrix(jnp.asarray(xi)))
     xh = np.concatenate([x, np.ones((10, 1), np.float32)], -1)
     np.testing.assert_allclose(y, (xh @ T.T)[:, :3], atol=1e-5)
+
+
+class TestNumpyMirror:
+    """lie_np must match the JAX lie ops exactly (the SLAM host loop uses
+    the numpy versions to avoid per-call device dispatch)."""
+
+    def _random_xis(self, n=64, scale=1.0, seed=7):
+        rng = np.random.default_rng(seed)
+        return (rng.standard_normal((n, 6)) * scale).astype(np.float32)
+
+    def test_se3_exp_log_roundtrip_matches_jax(self):
+        from sift_tpu.geometry import lie_np
+        for scale in (1e-6, 0.1, 1.0, 2.5):
+            xi = self._random_xis(scale=scale)
+            Rj, tj = lie.se3_exp(jnp.asarray(xi))
+            Rn, tn = lie_np.se3_exp(xi)
+            np.testing.assert_allclose(Rn, np.asarray(Rj), atol=1e-5)
+            np.testing.assert_allclose(tn, np.asarray(tj), atol=1e-5)
+            xj = np.asarray(lie.se3_log(Rj, tj))
+            xn = lie_np.se3_log(Rn, tn)
+            np.testing.assert_allclose(xn, xj, atol=1e-4)
+
+    def test_boxplus_and_rel_pose_match_jax(self):
+        from sift_tpu.geometry import lie_np
+        xi = self._random_xis(seed=8)
+        d = self._random_xis(seed=9, scale=0.05)
+        want = np.asarray(lie.boxplus(jnp.asarray(xi), jnp.asarray(d)))
+        got = lie_np.boxplus(xi, d)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+        a, b = xi[:32], xi[32:]
+        Ra, ta = lie.se3_exp(jnp.asarray(a))
+        Rb, tb = lie.se3_exp(jnp.asarray(b))
+        Rai, tai = lie.se3_inverse(Ra, ta)
+        Rr, tr = lie.se3_compose(Rai, tai, Rb, tb)
+        want = np.asarray(lie.se3_log(Rr, tr))
+        got = lie_np.rel_pose(a, b)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_near_pi_rotations(self):
+        from sift_tpu.geometry import lie_np
+        rng = np.random.default_rng(11)
+        axis = rng.standard_normal((16, 3))
+        axis /= np.linalg.norm(axis, axis=-1, keepdims=True)
+        w = (axis * (np.pi - 1e-4)).astype(np.float32)
+        xi = np.concatenate([w, rng.standard_normal((16, 3)).astype(np.float32)], -1)
+        Rn, tn = lie_np.se3_exp(xi)
+        xn = lie_np.se3_log(Rn, tn)
+        R2, t2 = lie_np.se3_exp(xn)
+        np.testing.assert_allclose(R2, Rn, atol=1e-4)
+        np.testing.assert_allclose(t2, tn, atol=1e-3)
