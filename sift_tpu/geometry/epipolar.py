@@ -112,6 +112,227 @@ def ransac_essential(key: jax.Array, na: jnp.ndarray, nb: jnp.ndarray,
     )
 
 
+# ----------------------------------------------------------- 5-point solver
+#
+# Minimal essential-matrix solver from 5 correspondences (Nister's problem),
+# formulated for an accelerator: the classic solvers finish with the
+# eigenvalues of a nonsymmetric 10x10 action/companion matrix, which XLA has
+# no TPU kernel for (jnp.linalg.eig is CPU-only). Instead we use the
+# hidden-variable resultant:
+#
+#   E = x E1 + y E2 + z E3 + E4          (4-dim null space of the 5 epipolar
+#                                         constraints; w normalized to 1)
+#   det(E) = 0, 2 E E^T E - tr(E E^T) E = 0   -> 10 cubic equations.
+#
+# Grouped by the 10 (x, y)-monomials [x^3, x^2 y, x y^2, y^3, x^2, x y,
+# y^2, x, y, 1], the system is A(z) m(x, y) = 0 with A(z) a 10x10 matrix
+# polynomial in z (degree <= 3). A solution exists iff det A(z) = 0 — a
+# degree-10 polynomial whose real roots we isolate by SIGN CHANGES of
+# det A(z) on a fixed tan-spaced grid and refine with fixed-count bisection:
+# every step is a batched 10x10 determinant (LU), fully vmappable, no
+# data-dependent shapes. Each root's (x, y) comes from the null vector of
+# A(z*). Solutions with w = 0 (E4 coefficient vanishing) and roots beyond
+# the grid range are lost — both are measure-zero cases RANSAC absorbs.
+
+
+def _null_basis_4(na: jnp.ndarray, nb: jnp.ndarray):
+    """(5,2)x(5,2) -> four (3,3) basis matrices of the constraint nullspace."""
+    A = _epipolar_rows(na, nb)              # (5, 9)
+    M = A.T @ A
+    _, vecs = jnp.linalg.eigh(M)            # ascending eigenvalues
+    return [vecs[:, i].reshape(3, 3) for i in range(4)]
+
+
+def _poly_mul(p: dict, q: dict) -> dict:
+    out = {}
+    for e1, c1 in p.items():
+        for e2, c2 in q.items():
+            e = (e1[0] + e2[0], e1[1] + e2[1], e1[2] + e2[2])
+            out[e] = out.get(e, 0.0) + c1 * c2
+    return out
+
+
+def _poly_add(p: dict, q: dict, qs: float = 1.0) -> dict:
+    out = dict(p)
+    for e, c in q.items():
+        out[e] = out.get(e, 0.0) + qs * c
+    return out
+
+
+_XY_MONOMIALS = [(3, 0), (2, 1), (1, 2), (0, 3), (2, 0), (1, 1), (0, 2),
+                 (1, 0), (0, 1), (0, 0)]
+
+
+def _constraint_tensor(E1, E2, E3, E4):
+    """(10 eq, 10 xy-monomial, 4 z-power) coefficient tensor of the cubic
+    constraint system. Built by trace-time polynomial arithmetic over the
+    exponent dictionary representation — hundreds of scalar ops that XLA
+    fuses (and that vmap over hypotheses batches into (H,) lanes)."""
+    # E entries as polynomials in (x, y, z).
+    Ep = [[{(1, 0, 0): E1[i, j], (0, 1, 0): E2[i, j],
+            (0, 0, 1): E3[i, j], (0, 0, 0): E4[i, j]}
+           for j in range(3)] for i in range(3)]
+
+    # det(E): sum over permutations.
+    def mul3(a, b, c):
+        return _poly_mul(_poly_mul(a, b), c)
+
+    det = {}
+    for (p0, p1, p2), s in ((((0, 1, 2)), 1), (((1, 2, 0)), 1),
+                            (((2, 0, 1)), 1), (((2, 1, 0)), -1),
+                            (((1, 0, 2)), -1), (((0, 2, 1)), -1)):
+        det = _poly_add(det, mul3(Ep[0][p0], Ep[1][p1], Ep[2][p2]), s)
+
+    # P = E E^T (degree 2), Q = P E (degree 3), tr(P) (degree 2).
+    P = [[{} for _ in range(3)] for _ in range(3)]
+    for i in range(3):
+        for j in range(3):
+            for k in range(3):
+                P[i][j] = _poly_add(P[i][j], _poly_mul(Ep[i][k], Ep[j][k]))
+    trP = _poly_add(_poly_add(P[0][0], P[1][1]), P[2][2])
+    eqs = [det]
+    for i in range(3):
+        for j in range(3):
+            q = {}
+            for k in range(3):
+                q = _poly_add(q, _poly_mul(P[i][k], Ep[k][j]))
+            eq = _poly_add({e: 2.0 * c for e, c in q.items()},
+                           _poly_mul(trP, Ep[i][j]), -1.0)
+            eqs.append(eq)
+
+    zeros = jnp.zeros_like(E1[0, 0])
+    rows = []
+    for eq in eqs:
+        row = []
+        for (a, b) in _XY_MONOMIALS:
+            zc = [eq.get((a, b, c), zeros) + zeros for c in range(4)]
+            row.append(jnp.stack(zc))
+        rows.append(jnp.stack(row))
+    return jnp.stack(rows)                  # (10, 10, 4)
+
+
+def _detA_signs(C, z):
+    """Row-normalized det A(z) for a (G,) batch of z values -> (G,)."""
+    zp = jnp.stack([jnp.ones_like(z), z, z * z, z * z * z], -1)   # (G, 4)
+    A = jnp.einsum("ijc,gc->gij", C, zp)                          # (G, 10, 10)
+    # Positive row scaling keeps the determinant's sign and tames the
+    # z^3-per-row growth that would overflow float32.
+    norm = jnp.linalg.norm(A, axis=-1, keepdims=True)
+    A = A / jnp.maximum(norm, _EPS)
+    return jnp.linalg.det(A)
+
+
+_GRID = 128
+_MAX_ROOTS = 10
+_BISECT = 40
+
+
+def fit_essential_5pt(na: jnp.ndarray, nb: jnp.ndarray):
+    """Minimal 5-point solver: (5,2)x(5,2) normalized correspondences ->
+    ((10, 3, 3) essential candidates, (10,) validity mask).
+
+    Cites SURVEY.md §2.2 ("batched minimal solvers (8-pt/5-pt)"); see the
+    module-level solver comment for the accelerator-native formulation.
+    """
+    E1, E2, E3, E4 = _null_basis_4(na, nb)
+    C = _constraint_tensor(E1, E2, E3, E4)
+
+    theta = jnp.linspace(-jnp.pi / 2 + 0.02, jnp.pi / 2 - 0.02, _GRID)
+    zg = jnp.tan(theta)
+    s = _detA_signs(C, zg)
+
+    flips = s[:-1] * s[1:] < 0                       # (G-1,)
+    # Up to _MAX_ROOTS bracketing intervals, earliest-first.
+    score = jnp.where(flips, -jnp.arange(_GRID - 1, dtype=jnp.float32),
+                      -jnp.inf)
+    top, idx = jax.lax.top_k(score, _MAX_ROOTS)
+    has_root = jnp.isfinite(top)
+    lo = zg[idx]
+    hi = zg[jnp.minimum(idx + 1, _GRID - 1)]
+    s_lo = s[idx]
+
+    def bisect(carry, _):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        s_mid = _detA_signs(C, mid)
+        left = s_lo * s_mid > 0          # root is in the right half
+        lo = jnp.where(left, mid, lo)
+        hi = jnp.where(left, hi, mid)
+        return (lo, hi), None
+
+    (lo, hi), _ = jax.lax.scan(bisect, (lo, hi), None, length=_BISECT)
+    roots = 0.5 * (lo + hi)                          # (10,)
+
+    # Null vector of A(z*) -> monomial vector -> (x, y).
+    zp = jnp.stack([jnp.ones_like(roots), roots, roots ** 2, roots ** 3], -1)
+    A = jnp.einsum("ijc,rc->rij", C, zp)             # (10, 10, 10)
+    M = jnp.einsum("rki,rkj->rij", A, A)
+    _, vecs = jnp.linalg.eigh(M)
+    m = vecs[..., 0]                                 # (10, 10) null monomials
+    w0 = m[:, 9]                                     # coefficient of "1"
+    ok = has_root & (jnp.abs(w0) > 1e-8 * jnp.linalg.norm(m, axis=-1))
+    safe = jnp.where(jnp.abs(w0) < _EPS, _EPS, w0)
+    x = m[:, 7] / safe
+    y = m[:, 8] / safe
+
+    E = (x[:, None, None] * E1 + y[:, None, None] * E2
+         + roots[:, None, None] * E3 + E4)
+    nrm = jnp.linalg.norm(E, axis=(-2, -1), keepdims=True)
+    E = E / jnp.maximum(nrm, _EPS)
+    return E, ok
+
+
+def ransac_essential_5pt(key: jax.Array, na: jnp.ndarray, nb: jnp.ndarray,
+                         valid: jnp.ndarray, cfg: RansacConfig,
+                         focal: float = 1.0) -> TwoViewEstimate:
+    """RANSAC with the minimal 5-point solver (multi-root hypotheses).
+
+    Each 5-correspondence sample yields up to 10 essential candidates; all
+    `num_hypotheses x 10` are scored together, and the winner is refit on
+    its inliers with the weighted 8-point (standard practice: the minimal
+    solver buys sample efficiency and planar robustness, the linear refit
+    polishes on the consensus set).
+    """
+    from sift_tpu.geometry.ransac import sample_minimal_sets
+
+    cfg_norm = cfg.replace(inlier_threshold=cfg.inlier_threshold / focal)
+    idx = sample_minimal_sets(key, valid, cfg.num_hypotheses, 5)
+    sa, sb = na[idx], nb[idx]                        # (H, 5, 2)
+
+    models, ok = jax.vmap(fit_essential_5pt)(sa, sb)  # (H,10,3,3), (H,10)
+    models = models.reshape(-1, 3, 3)
+    ok = ok.reshape(-1)
+
+    errors = jax.vmap(lambda m: sampson_error(m, na, nb))(models)
+    thresh2 = cfg_norm.inlier_threshold ** 2
+    inlier_mask = (errors < thresh2) & valid[None, :] & ok[:, None]
+    counts = jnp.sum(inlier_mask, axis=-1)
+    err_sum = jnp.sum(jnp.where(inlier_mask, errors, 0.0), axis=-1)
+    order = counts.astype(jnp.float32) - err_sum / (err_sum.max() + 1.0)
+    best = jnp.argmax(order)
+
+    model = models[best]
+    inliers = inlier_mask[best]
+    num_inliers = counts[best]
+
+    if cfg.refit:
+        refit_model = fit_fundamental_8pt(na, nb, inliers.astype(na.dtype),
+                                          essential=True)
+        refit_err = sampson_error(refit_model, na, nb)
+        refit_inliers = (refit_err < thresh2) & valid
+        refit_count = jnp.sum(refit_inliers)
+        better = refit_count >= num_inliers
+        model = jnp.where(better, refit_model, model)
+        inliers = jnp.where(better, refit_inliers, inliers)
+        num_inliers = jnp.where(better, refit_count, num_inliers)
+
+    return TwoViewEstimate(
+        model=model, inliers=inliers,
+        num_inliers=num_inliers.astype(jnp.int32),
+        success=num_inliers >= cfg.min_inliers,
+    )
+
+
 def decompose_essential(E: jnp.ndarray, na: jnp.ndarray, nb: jnp.ndarray,
                         weights: jnp.ndarray):
     """Recover the camera-B-from-camera-A pose (R, t) from E by cheirality.
@@ -229,10 +450,18 @@ def estimate_relative_pose(key, na, nb, valid, cfg: RansacConfig,
                            focal: float = 1.0, refine_iters: int = 10):
     """RANSAC essential -> cheirality decomposition -> Gauss-Newton polish.
 
+    The RANSAC stage uses the solver named by `cfg.essential_solver`:
+    "5pt" (minimal Nister-style, default — smaller samples survive higher
+    outlier rates and planar scenes do not collapse the fit) or "8pt"
+    (linear normalized fit).
+
     Returns (R, t, TwoViewEstimate) with (R, t) the camera-B-from-camera-A
     pose, |t| = 1.
     """
-    est = ransac_essential(key, na, nb, valid, cfg, focal=focal)
+    if cfg.essential_solver == "5pt":
+        est = ransac_essential_5pt(key, na, nb, valid, cfg, focal=focal)
+    else:
+        est = ransac_essential(key, na, nb, valid, cfg, focal=focal)
     w = est.inliers.astype(na.dtype)
     R0, t0, _ = decompose_essential(est.model, na, nb, w)
     R, t = refine_relative_pose(R0, t0, na, nb, w, iters=refine_iters)

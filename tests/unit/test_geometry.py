@@ -132,3 +132,69 @@ def test_triangulation_recovers_points():
     Xb = X @ R.T + t
     proj_b = Xb[:, :2] / Xb[:, 2:]
     np.testing.assert_allclose(proj_b, xb, atol=1e-4)
+
+
+# ----------------------------------------------------------- 5-point solver
+
+def test_fit_essential_5pt_exact_minimal():
+    """The ground-truth essential matrix is among the candidates produced
+    from exactly 5 noise-free correspondences."""
+    from sift_tpu.geometry.epipolar import fit_essential_5pt
+    rng = np.random.default_rng(11)
+    xa, xb, R, t = _synthetic_two_view(rng, n=5)
+    E_gt = np.cross(t, R, axisa=0, axisb=0).T    # [t]x R
+    E_gt /= np.linalg.norm(E_gt)
+
+    E, ok = jax.jit(fit_essential_5pt)(jnp.asarray(xa), jnp.asarray(xb))
+    E, ok = np.asarray(E), np.asarray(ok)
+    assert ok.any()
+    best = min(min(np.abs(E[i] - E_gt).max(), np.abs(E[i] + E_gt).max())
+               for i in range(10) if ok[i])
+    assert best < 5e-3, best
+    # Every valid candidate satisfies the 5 constraints exactly.
+    for i in range(10):
+        if ok[i]:
+            err = np.asarray(sampson_error(jnp.asarray(E[i]),
+                                           jnp.asarray(xa), jnp.asarray(xb)))
+            assert err.max() < 1e-6
+
+
+def test_ransac_5pt_beats_8pt_at_high_outlier_rate():
+    """Minimal samples survive outlier rates that starve 8-point samples:
+    at 40% outliers and a small hypothesis budget the 5-point RANSAC must
+    recover (nearly) all true inliers."""
+    from sift_tpu.geometry.epipolar import (ransac_essential_5pt,
+                                            ransac_essential)
+    rng = np.random.default_rng(12)
+    n = 200
+    xa, xb, R, t = _synthetic_two_view(rng, n=n, noise=1e-3)
+    out = rng.choice(n, 80, replace=False)
+    xb[out] = rng.uniform(-0.5, 0.5, (80, 2)).astype(np.float32)
+
+    cfg = RansacConfig(num_hypotheses=128, inlier_threshold=2.0)
+    key = jax.random.PRNGKey(3)
+    e5 = ransac_essential_5pt(key, jnp.asarray(xa), jnp.asarray(xb),
+                              jnp.ones(n, bool), cfg, focal=500.0)
+    e8 = ransac_essential(key, jnp.asarray(xa), jnp.asarray(xb),
+                          jnp.ones(n, bool), cfg, focal=500.0)
+    assert int(e5.num_inliers) >= 110          # 120 true inliers
+    assert int(e5.num_inliers) >= int(e8.num_inliers)
+
+
+def test_estimate_relative_pose_5pt_default():
+    """estimate_relative_pose with the default (5pt) solver recovers the
+    pose to the same tolerance as the 8pt test above."""
+    rng = np.random.default_rng(13)
+    xa, xb, R_true, t_true = _synthetic_two_view(rng, n=300, noise=5e-4)
+    out = rng.choice(300, 90, replace=False)
+    xb[out] = rng.uniform(-0.5, 0.5, (90, 2)).astype(np.float32)
+
+    cfg = RansacConfig(num_hypotheses=256, inlier_threshold=2.0)
+    assert cfg.essential_solver == "5pt"
+    R, t, est = estimate_relative_pose(
+        jax.random.PRNGKey(4), jnp.asarray(xa), jnp.asarray(xb),
+        jnp.ones(300, bool), cfg, focal=500.0)
+    assert bool(est.success)
+    dR = Rotation.from_matrix(np.asarray(R) @ R_true.T).magnitude()
+    assert dR < np.radians(1.0)
+    assert abs(np.asarray(t) @ t_true) > np.cos(np.radians(2.0))
