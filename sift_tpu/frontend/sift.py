@@ -96,7 +96,8 @@ def extract_lowe(img: jnp.ndarray, cfg: SiftConfig,
             ox0 = jnp.zeros((K,), jnp.float32)
         else:
             gxw, gyw, oy0, ox0 = gather_gradient_windows(
-                dxm, dym, gl, cand["y"], cand["x"], radius=r_eff)
+                dxm, dym, gl, cand["y"], cand["x"], radius=r_eff,
+                pallas=cfg.pallas)
             peak_oris, peak_valid = orientation_from_windows(
                 gxw, gyw, oy0, ox0, sigma_within, in_bounds, cfg,
                 MAX_ORI_PEAKS)

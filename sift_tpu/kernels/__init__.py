@@ -2,10 +2,13 @@
 `sift::alg` free functions, /root/reference/algorithms.cpp).
 
 All kernels are pure, batched over arbitrary leading dims where meaningful,
-and traceable under `jax.jit` / `jax.vmap`. Hot kernels additionally have
-Pallas implementations under `sift_tpu.kernels.pallas` selected at runtime on
-TPU backends; the jnp/XLA versions are the reference semantics and run
-everywhere.
+and traceable under `jax.jit` / `jax.vmap`. Where measurement shows the
+XLA formulation losing, a Pallas kernel lives under
+`sift_tpu.kernels.pallas` (currently: the per-keypoint window gather,
+1.8x vs vmapped dynamic_slice on v5e — see kernels/pallas/windows.py);
+stages where XLA already wins (blur as banded MXU matmul, histogram
+contractions) deliberately have no Pallas version — BENCH.md records the
+measured comparisons both ways.
 """
 
 from sift_tpu.kernels.gaussian import gaussian_kernel_1d, gaussian_blur

@@ -11,8 +11,8 @@ TPU design: the blur is expressed as two 1-D convolutions via
 `lax.conv_general_dilated` over an explicit mirror pad. XLA lowers these to
 MXU/VPU-friendly fused loops; the kernel taps are compile-time constants
 (sigma is static config), so each pyramid level compiles to a fixed-tap
-stencil. A Pallas version for large batched images lives in
-`kernels/pallas/blur.py`.
+stencil. No Pallas version: the banded-matmul formulation already runs at
+73-193 GB/s on v5e (BENCH.md) and a hand kernel has nothing left to fuse.
 """
 
 from __future__ import annotations

@@ -1,0 +1,80 @@
+"""Pallas window-gather kernel vs the XLA dynamic_slice formulation.
+
+CPU CI runs the kernel through the Pallas interpreter; on a real TPU the
+same assertions hold for the compiled Mosaic kernel (verified on v5e:
+bit-exact, 0.57 ms vs 1.01 ms for 512 keypoints at 600x488 — BENCH.md).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sift_tpu.kernels.pallas.windows import gather_windows_pallas
+
+INTERPRET = jax.devices()[0].platform != "tpu"
+
+
+def _case(seed, L=4, H=123, W=150, K=29, r=24):
+    rng = np.random.default_rng(seed)
+    d = 2 * r
+    maps = rng.standard_normal((2, L, H, W)).astype(np.float32)
+    gl = rng.integers(0, L, K).astype(np.int32)
+    y0 = rng.integers(0, H - d, K).astype(np.int32)
+    x0 = rng.integers(0, W - d, K).astype(np.int32)
+    return maps, gl, y0, x0, r, d
+
+
+@pytest.mark.parametrize("seed,shape", [(0, (123, 150)), (1, (600, 488)),
+                                        (2, (75, 61))])
+def test_matches_numpy_gather_bitexact(seed, shape):
+    H, W = shape
+    r = 24 if min(shape) >= 48 else 12
+    maps, gl, y0, x0, r, d = _case(seed, H=H, W=W, r=r)
+    got = np.asarray(gather_windows_pallas(
+        jnp.asarray(maps), jnp.asarray(gl), jnp.asarray(y0),
+        jnp.asarray(x0), r, INTERPRET))
+    want = np.stack([maps[:, gl[k], y0[k]:y0[k] + d, x0[k]:x0[k] + d]
+                     for k in range(gl.shape[0])])
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+
+
+def test_boundary_corners():
+    """Windows flush against every image border."""
+    rng = np.random.default_rng(3)
+    L, H, W, r = 2, 80, 96, 24
+    d = 2 * r
+    maps = rng.standard_normal((2, L, H, W)).astype(np.float32)
+    y0 = np.array([0, 0, H - d, H - d, (H - d) // 2], np.int32)
+    x0 = np.array([0, W - d, 0, W - d, (W - d) // 2], np.int32)
+    gl = np.array([0, 1, 0, 1, 1], np.int32)
+    got = np.asarray(gather_windows_pallas(
+        jnp.asarray(maps), jnp.asarray(gl), jnp.asarray(y0),
+        jnp.asarray(x0), r, INTERPRET))
+    want = np.stack([maps[:, gl[k], y0[k]:y0[k] + d, x0[k]:x0[k] + d]
+                     for k in range(5)])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_frontend_pallas_flag_equivalence():
+    """extract() with pallas="on" (interpreter off-TPU) must equal
+    pallas="off" exactly — the kernel is a drop-in for the XLA gather."""
+    from sift_tpu.config import SiftConfig
+    from sift_tpu.frontend.sift import extract
+    import scipy.ndimage as ndi
+
+    rng = np.random.RandomState(5)
+    img = ndi.gaussian_filter(rng.rand(96, 128), 2.0)
+    img = ((img - img.min()) / np.ptp(img) * 255).astype(np.float32)
+
+    kp_off = extract(jnp.asarray(img), SiftConfig(mode="lowe", pallas="off"))
+    kp_on = extract(jnp.asarray(img), SiftConfig(mode="lowe", pallas="on"))
+    np.testing.assert_array_equal(np.asarray(kp_off.valid),
+                                  np.asarray(kp_on.valid))
+    v = np.asarray(kp_off.valid)
+    np.testing.assert_allclose(np.asarray(kp_off.desc)[v],
+                               np.asarray(kp_on.desc)[v], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(kp_off.orientation)[v],
+                                  np.asarray(kp_on.orientation)[v])
