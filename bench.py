@@ -111,13 +111,39 @@ def main() -> int:
     per_batch = (times[REPS_HI] - times[REPS_LO]) / (REPS_HI - REPS_LO)
     per_batch = max(per_batch, 1e-9)
     kf_per_s = BATCH / per_batch
-    print(json.dumps({
+
+    out = {
         "metric": "keyframes_per_s_per_chip",
         "value": round(kf_per_s, 2),
         "unit": "kf/s",
         "vs_baseline": round(kf_per_s / REFERENCE_IMG_PER_S, 1),
-    }))
+    }
+    slam = run_slam_bench()
+    if slam is not None:
+        out["slam_kf_per_s"] = slam
+    print(json.dumps(out))
     return 0
+
+
+def run_slam_bench(timeout_s: int = 900):
+    """End-to-end SLAM system throughput (benchmarks/slam_bench.py) in a
+    subprocess; None on any failure so the headline never breaks."""
+    import subprocess
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.join(REPO, "benchmarks", "slam_bench.py")],
+            capture_output=True, text=True, timeout=timeout_s,
+            env={**os.environ, "SLAM_BENCH_SYSTEM_ONLY": "1"})
+        for line in p.stdout.splitlines():
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if rec.get("metric") == "slam_kf_per_s":
+                return rec["value"]
+    except Exception:
+        pass
+    return None
 
 
 if __name__ == "__main__":

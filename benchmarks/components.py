@@ -118,12 +118,85 @@ def bench_blur():
                 unit="GB/s", detail=f"{b}x{h}x{w} sigma=1.6, t={t*1e3:.2f}ms")
 
 
+def bench_roofline():
+    """Per-stage roofline table (SURVEY §5): chained time + XLA-reported
+    FLOPs/bytes -> achieved rate, % of v5e peaks, binding wall."""
+    import jax
+    import jax.numpy as jnp
+    from sift_tpu.config import SiftConfig, MatchConfig, BAConfig
+    from sift_tpu.frontend.sift import extract
+    from sift_tpu.kernels.gaussian import gaussian_blur
+    from sift_tpu.matching.matcher import match_descriptors
+    from sift_tpu.ba.solver import run_ba
+    from sift_tpu.io.synthetic import make_scene, pad_observations
+    from sift_tpu.utils.roofline import measure_roofline
+    from sift_tpu.utils.timing import tree_scalar
+
+    rng = np.random.default_rng(0)
+    rows = []
+
+    # blur
+    b, h, w = (2, 128, 128) if SMALL else (8, 488, 600)
+    img = jnp.asarray(rng.uniform(0, 255, (b, h, w)).astype(np.float32))
+    rows.append(measure_roofline(
+        "gaussian_blur", lambda x: jnp.sum(gaussian_blur(x, 1.6)), (img,)))
+
+    # full frontend (one frame)
+    cfg = SiftConfig(mode="lowe")
+    frame = jnp.asarray(rng.uniform(0, 255, (h, w)).astype(np.float32))
+
+    def fn_frontend(x):
+        kp = extract(x, cfg, True)
+        return tree_scalar((kp.x, kp.score, kp.desc))
+
+    rows.append(measure_roofline("frontend_extract", fn_frontend, (frame,),
+                                 reps_lo=1, reps_hi=4))
+
+    # matcher
+    n = 1024 if SMALL else 4096
+    d = rng.standard_normal((2, n, 128)).astype(np.float32)
+    mc = MatchConfig(max_matches=n)
+    valid = jnp.ones((n,), bool)
+
+    def fn_match(da):
+        m = match_descriptors(da, valid, jnp.asarray(d[1]), valid, mc)
+        return tree_scalar((m.distance, m.idx_a))
+
+    rows.append(measure_roofline("matcher", fn_match, (jnp.asarray(d[0]),)))
+
+    # window BA
+    ncam, nlm, cap = (8, 256, 2048) if SMALL else (8, 2048, 8192)
+    scene = make_scene(np.random.default_rng(2), num_cameras=ncam,
+                      num_landmarks=nlm, pose_noise=0.01,
+                      landmark_noise=0.05)
+    scene = pad_observations(scene, cap)
+    fixed = np.zeros(ncam, bool)
+    fixed[:2] = True
+    bcfg = BAConfig(max_iterations=8, cg_iterations=20)
+    args = tuple(jnp.asarray(scene[k]) for k in
+                 ("poses_init", "intrinsics", "landmarks_init", "obs_cam",
+                  "obs_lm", "obs_uv", "obs_valid"))
+
+    def fn_ba(poses, *rest):
+        st = run_ba(poses, *rest, bcfg, jnp.asarray(fixed))
+        return tree_scalar((st.poses, st.landmarks, st.cost))
+
+    rows.append(measure_roofline("window_ba", fn_ba, args,
+                                 reps_lo=1, reps_hi=4))
+    return rows
+
+
 def main():
     for fn in (bench_matching, bench_ransac, bench_ba, bench_blur):
         try:
             print(json.dumps(fn()))
         except Exception as e:  # keep the report going
             print(json.dumps({"metric": fn.__name__, "error": str(e)[:200]}))
+    try:
+        for row in bench_roofline():
+            print(json.dumps({"metric": "roofline", **row}))
+    except Exception as e:
+        print(json.dumps({"metric": "roofline", "error": str(e)[:200]}))
     return 0
 
 

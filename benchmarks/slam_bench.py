@@ -1,0 +1,228 @@
+"""Full-system SLAM benchmark: keyframes/s of the end-to-end pipeline.
+
+The VERDICT r1 gap: only the frontend was benchmarked (207 kf/s) while the
+window BA alone cost ~239 ms per promotion — nothing measured the actual
+SLAM loop. This benchmark runs `SfmPipeline` on a rendered VGA-class
+two-plane sequence (real SIFT extraction -> guided tracking -> promotions
+-> window BA) and reports:
+
+  1. `slam_kf_per_s`      — steady-state host-orchestrated throughput over
+                            the second half of the sequence (all programs
+                            compiled during the first half). Includes every
+                            real cost: host logic, device dispatches,
+                            tunnel RTT.
+  2. per-stage budget     — chained on-device time of each jitted stage
+                            (extract / fused-track / window-BA), RTT-proof.
+
+Config knobs exercised: batched extraction (process_sequence), the fused
+single-dispatch tracking step, deferred async window BA, and the reduced
+tracking-BA budget (PipelineConfig.ba_tracking_*).
+
+Usage: python benchmarks/slam_bench.py          (JSON lines on stdout)
+       BENCH_SMALL=1 ...                        (CPU-sized smoke run)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SMALL = bool(int(os.environ.get("BENCH_SMALL", "0")))
+
+H, W = (180, 240) if SMALL else (480, 600)
+FX = 200.0 if SMALL else 520.0
+N_FRAMES = 16 if SMALL else 64
+STEP = 0.06 if SMALL else 0.025
+Z_TOP, Z_BOT = 6.0, 12.0
+INTR = (FX, FX, W / 2.0, H / 2.0)
+
+
+def _textures():
+    from sift_tpu.io.image import load_image_gray
+    base = load_image_gray("/root/reference/example/parrot.jpg")
+    base = np.concatenate([base, base[:, ::-1]], axis=1)   # widen
+    t1 = base[40:40 + H // 2, 0:W + 200]
+    t2 = base[300:300 + H - H // 2, 100:100 + W + 200]
+    return t1, t2
+
+
+_TEX = None
+
+
+def render(tx: float) -> np.ndarray:
+    """Two fronto-parallel planes (z = Z_TOP / Z_BOT); camera at (tx, 0, 0)."""
+    global _TEX
+    if _TEX is None:
+        _TEX = _textures()
+    t1, t2 = _TEX
+
+    def sample(tex, shift):
+        cols = np.clip(np.arange(W) + shift + 60.0, 0, tex.shape[1] - 2)
+        c0 = np.floor(cols).astype(int)
+        f = cols - c0
+        return tex[:, c0] * (1 - f) + tex[:, c0 + 1] * f
+
+    top = sample(t1, FX * tx / Z_TOP)
+    bot = sample(t2, FX * tx / Z_BOT)
+    return np.concatenate([top, bot], axis=0).astype(np.float32)
+
+
+def _pipeline_cfg():
+    from sift_tpu.config import (PipelineConfig, SiftConfig, MatchConfig,
+                                 RansacConfig, BAConfig)
+    return PipelineConfig(
+        sift=SiftConfig(mode="lowe", octaves=4, max_keypoints=1024,
+                        max_keypoints_per_octave=512),
+        match=MatchConfig(ratio=0.8, max_matches=1024),
+        ransac=RansacConfig(num_hypotheses=512, inlier_threshold=1.5,
+                            min_inliers=15),
+        ba=BAConfig(max_iterations=20, cg_iterations=50),
+        ba_tracking_iterations=8, ba_tracking_cg=20, ba_async=True,
+        window_size=6, ba_max_landmarks=2048, ba_max_observations=8192,
+        min_bootstrap_parallax=2.0, min_bootstrap_matches=25,
+        kf_min_tracked=60, kf_max_interval=4,
+        min_triangulation_angle_deg=0.1,
+    )
+
+
+def bench_system():
+    """Steady-state end-to-end throughput (host wall clock)."""
+    from sift_tpu.slam.pipeline import SfmPipeline
+
+    frames = [render(STEP * i) for i in range(N_FRAMES)]
+    pipe = SfmPipeline(INTR, _pipeline_cfg())
+
+    half = N_FRAMES // 2
+    # First half: compiles (bootstrap program, tracking program, promotion
+    # + BA programs) + map warmup.
+    pipe.process_sequence(frames[:half], batch=8)
+    # Second half: steady-state tracking, timed.
+    t0 = time.perf_counter()
+    results = pipe.process_sequence(frames[half:], batch=8)
+    elapsed = time.perf_counter() - t0
+
+    tracked = float(np.mean([r["tracked"] for r in results]))
+    n_kf = sum(bool(r["is_keyframe"]) for r in results)
+    kf_s = (N_FRAMES - half) / max(elapsed, 1e-9)
+    return dict(metric="slam_kf_per_s", value=round(kf_s, 2), unit="kf/s",
+                detail=f"{N_FRAMES-half} frames in {elapsed*1e3:.0f}ms, "
+                       f"tracked={tracked:.2f}, promotions={n_kf}, "
+                       f"state={pipe.state}")
+
+
+def bench_stages():
+    """Chained on-device time per pipeline stage (RTT-proof)."""
+    import jax
+    import jax.numpy as jnp
+    from sift_tpu.config import BAConfig
+    from sift_tpu.frontend.sift import extract_batch
+    from sift_tpu.matching.matcher import match_descriptors_guided
+    from sift_tpu.ba.pose_only import pose_ransac_refine
+    from sift_tpu.ba.solver import run_ba
+    from sift_tpu.geometry.camera import project as project_cam
+    from sift_tpu.io.synthetic import make_scene, pad_observations
+    from sift_tpu.utils.timing import chained_time, tree_scalar
+
+    cfg = _pipeline_cfg()
+    out = []
+
+    # --- extract (batched) ---
+    B = 4 if SMALL else 8
+    frames = np.stack([render(STEP * i) for i in range(B)])
+
+    def fn_ex(x):
+        kp = extract_batch(x, cfg.sift, True)
+        return tree_scalar((kp.x, kp.score, kp.desc))
+
+    t = chained_time(fn_ex, (jnp.asarray(frames),), reps_lo=1, reps_hi=4)
+    out.append(dict(metric="stage_extract_ms_per_frame",
+                    value=round(t / B * 1e3, 3), unit="ms",
+                    detail=f"batch={B} {H}x{W}"))
+
+    # --- fused tracking step (project + guided match + localize) ---
+    rng = np.random.default_rng(0)
+    M = cfg.local_map_size
+    N = cfg.sift.max_keypoints
+    desc_ref = rng.standard_normal((M, 128)).astype(np.float32)
+    desc_b = rng.standard_normal((N, 128)).astype(np.float32)
+    lms_ref = rng.uniform(-2, 2, (M, 3)).astype(np.float32) + [0, 0, 8]
+    uv_b = rng.uniform(0, W, (N, 2)).astype(np.float32)
+    K = jnp.asarray(INTR, jnp.float32)
+    key = jax.random.PRNGKey(0)
+    vr = jnp.ones((M,), bool)
+    vb = jnp.ones((N,), bool)
+
+    def fn_tr(dref):
+        pose0 = jnp.zeros((6,), jnp.float32)
+        uv_pred, z = project_cam(pose0, K, jnp.asarray(lms_ref))
+        has = vr & (z > 1e-6)
+        m = match_descriptors_guided(dref, vr, jnp.asarray(desc_b), vb,
+                                     uv_pred, has, jnp.asarray(uv_b),
+                                     cfg.guided_radius, cfg.match)
+        pose, inl, rmse = pose_ransac_refine(
+            key, pose0, K, jnp.asarray(lms_ref)[m.idx_a],
+            jnp.asarray(uv_b)[m.idx_b], m.valid,
+            delta=cfg.ransac.inlier_threshold)
+        return tree_scalar((pose, rmse))
+
+    t = chained_time(fn_tr, (jnp.asarray(desc_ref),))
+    out.append(dict(metric="stage_track_fused_ms", value=round(t * 1e3, 3),
+                    unit="ms", detail=f"localmap={M} kps={N}"))
+
+    # --- window BA at the tracking budget ---
+    ncam = cfg.window_size
+    nlm = 512 if SMALL else cfg.ba_max_landmarks
+    scene = make_scene(np.random.default_rng(2), num_cameras=ncam,
+                       num_landmarks=nlm, pose_noise=0.01,
+                       landmark_noise=0.05)
+    scene = pad_observations(scene, cfg.ba_max_observations)
+    fixed = np.zeros(ncam, bool)
+    fixed[:2] = True
+    bcfg = BAConfig(max_iterations=cfg.ba_tracking_iterations,
+                    cg_iterations=cfg.ba_tracking_cg)
+    args = [jnp.asarray(scene[k]) for k in
+            ("poses_init", "intrinsics", "landmarks_init", "obs_cam",
+             "obs_lm", "obs_uv", "obs_valid")]
+
+    def fn_ba(poses, *rest):
+        st = run_ba(poses, *rest, bcfg, jnp.asarray(fixed))
+        return tree_scalar((st.poses, st.landmarks, st.cost))
+
+    t = chained_time(fn_ba, tuple(args), reps_lo=1, reps_hi=4)
+    out.append(dict(metric="stage_window_ba_track_ms",
+                    value=round(t * 1e3, 2), unit="ms",
+                    detail=f"{ncam}cam/{nlm}lm budget "
+                           f"{bcfg.max_iterations}LM/{bcfg.cg_iterations}CG"))
+
+    # --- full-budget window BA for comparison ---
+    fcfg = BAConfig(max_iterations=20, cg_iterations=50)
+
+    def fn_ba_full(poses, *rest):
+        st = run_ba(poses, *rest, fcfg, jnp.asarray(fixed))
+        return tree_scalar((st.poses, st.landmarks, st.cost))
+
+    t = chained_time(fn_ba_full, tuple(args), reps_lo=1, reps_hi=3)
+    out.append(dict(metric="stage_window_ba_full_ms",
+                    value=round(t * 1e3, 2), unit="ms",
+                    detail=f"{ncam}cam/{nlm}lm budget 20LM/50CG"))
+    return out
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/sift_tpu_xla"))
+    print(json.dumps(bench_system()))
+    if not os.environ.get("SLAM_BENCH_SYSTEM_ONLY"):
+        for r in bench_stages():
+            print(json.dumps(r))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
