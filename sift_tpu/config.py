@@ -174,6 +174,17 @@ class PipelineConfig:
     # local-mapping-thread design, expressed as JAX async dispatch.
     ba_async: bool = False
 
+    # Device-resident chunked tracking (process_sequence only): track a
+    # whole extraction batch in ONE lax.scan dispatch — constant-velocity
+    # prediction, guided local-map association, and robust pose GN all on
+    # device — and read ONE packed (B, 8) buffer per chunk. Promotion
+    # decisions are made after the chunk (at most one promotion, at the
+    # last qualifying frame); a lost frame falls the chunk back to the
+    # per-frame path. Amortizes the host-device round trip over B frames;
+    # essential on tunneled backends (~30 ms/read), still a win on local
+    # hosts.
+    chunked_tracking: bool = False
+
     # Bootstrap / keyframe policy.
     min_bootstrap_matches: int = 40
     min_bootstrap_parallax: float = 8.0   # px, median flow before two-view init

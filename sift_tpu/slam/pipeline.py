@@ -27,9 +27,10 @@ from typing import Dict, List, Optional
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from sift_tpu.config import PipelineConfig
-from sift_tpu.types import Keypoints
+from sift_tpu.types import Keypoints, Matches
 from sift_tpu.frontend.sift import extract
 from sift_tpu.matching.matcher import match_descriptors
 from sift_tpu.geometry import lie, lie_np
@@ -50,12 +51,16 @@ def _np_kp(kp: Keypoints, subpixel: bool = False) -> Dict[str, np.ndarray]:
     intrinsics' scale.
 
     Transfer discipline (the host loop is transfer-bound on tunneled
-    backends): the small metadata fields come down in ONE `device_get`;
-    the 512 KB descriptor buffer STAYS ON DEVICE — every consumer of
-    `d["desc"]` is itself a device computation (matching), and the few
-    host-side consumers (save_map) convert explicitly.
+    backends): the small metadata fields come down PACKED in ONE buffer
+    (one read, not four); the 512 KB descriptor buffer STAYS ON DEVICE —
+    every consumer of `d["desc"]` is itself a device computation
+    (matching), and the few host-side consumers (save_map) convert
+    explicitly.
     """
-    x, y, valid, octave = jax.device_get((kp.x, kp.y, kp.valid, kp.octave))
+    packed = np.asarray(_pack_kp_meta(kp))
+    x, y = packed[0], packed[1]
+    octave = packed[2].astype(np.int32)
+    valid = packed[3] > 0.5
     d = dict(x=x, y=y, valid=valid, octave=octave, desc=kp.desc)
     factor = np.exp2(octave.astype(np.float64))
     if subpixel:
@@ -82,6 +87,13 @@ def _se3_log_np(R, t):
 def _pgo_jit(graph):
     from sift_tpu.slam.pose_graph import optimize_pose_graph
     return optimize_pose_graph(graph, iterations=15)
+
+
+@jax.jit
+def _pack_kp_meta(kp: Keypoints) -> jnp.ndarray:
+    """(4, N) f32: x, y, octave, valid — one host read instead of four."""
+    return jnp.stack([kp.x, kp.y, kp.octave.astype(jnp.float32),
+                      kp.valid.astype(jnp.float32)])
 
 
 class Keyframe:
@@ -205,9 +217,95 @@ class SfmPipeline:
             n_inl = jnp.sum(inliers.astype(jnp.int32)).astype(jnp.float32)
             return jnp.concatenate([pose, n_inl[None], rmse[None]])
 
+        @jax.jit
+        def _track_chunk(key, pose0, vel0, desc_ref, valid_ref, lms_ref,
+                         kp_batch):
+            """Device-resident tracking of a whole frame chunk
+            (cfg.chunked_tracking): lax.scan over the batch — constant-
+            velocity prediction, guided local-map association, robust pose
+            GN — returning one packed (B, 8) buffer [pose(6), n_inl, rmse]
+            per frame. ONE dispatch + ONE read per chunk.
+
+            An untracked frame keeps the previous pose and zeroes the
+            velocity (the host falls back to the per-frame path for the
+            chunk when it sees a lost frame)."""
+            min_inl = cfg.keyframe_min_inliers // 2
+
+            def step(carry, inputs):
+                pose_prev, vel = carry
+                kp, idx = inputs
+                pred = lie.boxplus(pose_prev, vel)
+                uv_pred, z = project_cam(pred, K, lms_ref)
+                has_pred = valid_ref & (z > 1e-6)
+                factor = jnp.exp2(kp.octave.astype(jnp.float32)) / uv_div
+                uv_b = jnp.stack([kp.x * factor, kp.y * factor], -1)
+                m = match_descriptors_guided(
+                    desc_ref, valid_ref, kp.desc, kp.valid,
+                    uv_pred, has_pred, uv_b, cfg.guided_radius, cfg.match)
+                lms = lms_ref[m.idx_a]
+                uv = uv_b[m.idx_b]
+                k_i = jax.random.fold_in(key, idx)
+                pose, inliers, rmse = pose_ransac_refine(
+                    k_i, pred, K, lms, uv, m.valid,
+                    delta=cfg.ransac.inlier_threshold)
+                n_inl = jnp.sum(inliers.astype(jnp.int32))
+                tracked = n_inl >= min_inl
+                pose_use = jnp.where(tracked, pose, pose_prev)
+                # On-device velocity update: log(T_prev^-1 T_new).
+                Rp, tp = lie.se3_exp(pose_prev)
+                Rn, tn = lie.se3_exp(pose_use)
+                Rpi, tpi = lie.se3_inverse(Rp, tp)
+                Rr, tr = lie.se3_compose(Rpi, tpi, Rn, tn)
+                vel_new = jnp.where(tracked, lie.se3_log(Rr, tr),
+                                    jnp.zeros(6, pose0.dtype))
+                packed = jnp.concatenate(
+                    [pose_use, n_inl.astype(jnp.float32)[None],
+                     rmse[None]])
+                return (pose_use, vel_new), packed
+
+            B = kp_batch.x.shape[0]
+            (_, _), out = lax.scan(
+                step, (pose0, vel0),
+                (kp_batch, jnp.arange(B, dtype=jnp.int32)))
+            return out                                   # (B, 8)
+
+        def _make_kf_track(guided: bool):
+            @jax.jit
+            def _kf_track(key, init_pose, desc_a, valid_a, lms_a, has_lm_a,
+                          desc_b, valid_b, uv_b):
+                """Fused keyframe match + localize (promotions, reloc
+                probes): ONE dispatch, ONE packed read — [idx_a(M),
+                idx_b(M), match_valid(M), inliers(M), pose(6), n_inl,
+                rmse]."""
+                uv_pred, z = project_cam(init_pose, K, lms_a)
+                has_pred = valid_a & has_lm_a & (z > 1e-6)
+                if guided:
+                    m = match_descriptors_guided(
+                        desc_a, valid_a, desc_b, valid_b, uv_pred, has_pred,
+                        uv_b, cfg.guided_radius, cfg.match)
+                else:
+                    m = match_descriptors(desc_a, valid_a, desc_b, valid_b,
+                                          cfg.match)
+                pv = m.valid & has_lm_a[m.idx_a]
+                lms = lms_a[m.idx_a]
+                uv = uv_b[m.idx_b]
+                pose, inliers, rmse = pose_ransac_refine(
+                    key, init_pose, K, lms, uv, pv,
+                    delta=cfg.ransac.inlier_threshold)
+                f32 = jnp.float32
+                return jnp.concatenate([
+                    m.idx_a.astype(f32), m.idx_b.astype(f32),
+                    m.valid.astype(f32), inliers.astype(f32), pose,
+                    jnp.sum(inliers.astype(jnp.int32)).astype(f32)[None],
+                    rmse[None]])
+            return _kf_track
+
         self._jit_guided_match = _guided_match
         self._jit_project = _project
         self._jit_track_local = _track_local
+        self._jit_track_chunk = _track_chunk
+        self._jit_kf_track = {True: _make_kf_track(True),
+                              False: _make_kf_track(False)}
 
         fx, fy, cx, cy = self.K
         focal = float((fx + fy) * 0.5)
@@ -261,6 +359,10 @@ class SfmPipeline:
 
         @jax.jit
         def _triangulate(pose_a, pose_b, pa, pb):
+            """Fixed-capacity triangulation; returns PACKED (N, 4) [X|good]
+            so the host pays one read, and callers pad (pa, pb) to a static
+            capacity — variable-length inputs would recompile every
+            promotion."""
             na = jnp.stack([(pa[:, 0] - cx) / fx, (pa[:, 1] - cy) / fy], -1)
             nb = jnp.stack([(pb[:, 0] - cx) / fx, (pb[:, 1] - cy) / fy], -1)
 
@@ -287,7 +389,8 @@ class SfmPipeline:
             ang_ok = cosang < np.cos(np.radians(cfg.min_triangulation_angle_deg))
             good = (za > 1e-3) & (zb > 1e-3) & ang_ok & \
                 (err_px < cfg.max_reproj_error_px)
-            return X, good
+            return jnp.concatenate(
+                [X, good.astype(jnp.float32)[:, None]], -1)
 
         ba_cfg = cfg.ba
         if cfg.ba_tracking_iterations > 0:
@@ -431,6 +534,12 @@ class SfmPipeline:
             pad = batch - len(chunk)
             imgs = np.stack(chunk + [chunk[-1]] * pad)
             kp_batch = _extract_batch(jnp.asarray(imgs))
+
+            if cfg.chunked_tracking and depths is None and \
+                    self.state == "tracking" and cfg.use_local_map:
+                if self._process_chunk_tracked(kp_batch, len(chunk), results):
+                    continue        # whole chunk handled in one dispatch
+
             for bi in range(len(chunk)):
                 kp_i = jax.tree.map(lambda a: a[bi], kp_batch)
                 self._frame_idx += 1
@@ -450,6 +559,77 @@ class SfmPipeline:
                         if not isinstance(v, np.ndarray)})
         self.finalize()
         return results
+
+    def _process_chunk_tracked(self, kp_batch: Keypoints, n_frames: int,
+                               results: List[Dict]) -> bool:
+        """Device-resident tracking of one extraction chunk
+        (PipelineConfig.chunked_tracking): one `_jit_track_chunk` dispatch
+        + one packed read covers every frame; at most one keyframe
+        promotion per chunk, decided afterwards at the last qualifying
+        frame. Returns False (nothing recorded) to fall back to the
+        per-frame path — e.g. no local map yet or a frame lost tracking
+        mid-chunk."""
+        cfg = self.cfg
+        local = self._build_local_map()
+        if local is None:
+            return False
+        desc_ref, valid_ref, lm_ids = local
+        lms_ref = self.landmarks[np.clip(lm_ids, 0,
+                                         max(self.landmarks.shape[0] - 1, 0))]
+
+        # Constant-velocity seed from the trajectory (host math).
+        tracked_recs = [r for r in self.trajectory if r.get("tracked")]
+        pose0 = (np.asarray(tracked_recs[-1]["pose"], np.float32)
+                 if tracked_recs else self.keyframes[-1].pose)
+        if len(tracked_recs) >= 2:
+            vel0 = self._rel_pose(
+                np.asarray(tracked_recs[-2]["pose"], np.float32), pose0)
+        else:
+            vel0 = np.zeros(6, np.float32)
+
+        packed = np.asarray(self._jit_track_chunk(
+            self._next_key(), jnp.asarray(pose0), jnp.asarray(vel0),
+            desc_ref, jnp.asarray(valid_ref),
+            jnp.asarray(lms_ref.astype(np.float32)), kp_batch))
+        packed = packed[:n_frames]
+        n_inls = packed[:, 6].astype(np.int32)
+        min_inl = cfg.keyframe_min_inliers // 2
+        if not (n_inls >= min_inl).all():
+            return False            # lost frame: per-frame path handles it
+
+        promote_at = -1
+        since = self._frames_since_kf
+        for bi in range(n_frames):
+            since += 1
+            if n_inls[bi] < cfg.kf_min_tracked or since >= cfg.kf_max_interval:
+                promote_at = bi     # last qualifying frame wins
+
+        for bi in range(n_frames):
+            self._frame_idx += 1
+            out = dict(pose=packed[bi, :6].astype(np.float32), tracked=True,
+                       is_keyframe=False, n_inliers=int(n_inls[bi]),
+                       rmse=float(packed[bi, 7]), state=self.state,
+                       frame_idx=self._frame_idx)
+            if bi == promote_at:
+                kp_i = jax.tree.map(lambda a: a[bi], kp_batch)
+                kp = _np_kp(kp_i, cfg.sift.subpixel)
+                pose, inliers, rmse, m, sel, lm_of_match, _ = \
+                    self._match_and_localize(kp, self.keyframes[-1],
+                                             out["pose"], guided=True)
+                self._promote_keyframe(kp, pose, m, inliers, sel,
+                                       lm_of_match)
+                self._frames_since_kf = 0
+                out["pose"] = self.keyframes[-1].pose
+                out["is_keyframe"] = True
+            else:
+                self._frames_since_kf += 1
+            self.trajectory.append(out)
+            results.append(out)
+            if self.logger is not None:
+                self.logger.log("frame", **{k: v for k, v in out.items()
+                                            if not isinstance(v, np.ndarray)})
+        self._frames_lost = 0
+        return True
 
     # ------------------------------------------------------ save / resume
     def save_map(self, path: str) -> None:
@@ -596,49 +776,50 @@ class SfmPipeline:
         """Match `kp` against a reference keyframe and localize on the 2D-3D
         correspondences. Returns (pose, inliers, rmse, m, sel, lm_of_match,
         n_inl). `guided`: restrict candidates near each reference landmark's
-        projection under `init_pose` (tracking only — probes stay unguided)."""
-        if guided and self.cfg.guided_radius > 0 and \
-                (ref_kf.kp_lm >= 0).any() and self.landmarks.shape[0] > 0:
-            has = ref_kf.kp_lm >= 0
-            lms = self.landmarks[np.clip(ref_kf.kp_lm, 0,
-                                         self.landmarks.shape[0] - 1)]
-            uv_pred, z = self._jit_project(jnp.asarray(init_pose),
-                                           jnp.asarray(lms))
-            has_pred = jnp.asarray(has) & (z > 1e-6)
-            uv_b = jnp.asarray(
-                np.stack([kp["u"], kp["v"]], -1).astype(np.float32))
-            m = self._jit_guided_match(
-                jnp.asarray(ref_kf.kp["desc"]),
-                jnp.asarray(ref_kf.kp["valid"]),
-                uv_pred, has_pred,
-                jnp.asarray(kp["desc"]), jnp.asarray(kp["valid"]), uv_b)
-        else:
-            m = self._jit_match(jnp.asarray(ref_kf.kp["desc"]),
-                                jnp.asarray(ref_kf.kp["valid"]),
-                                jnp.asarray(kp["desc"]),
-                                jnp.asarray(kp["valid"]))
-        valid = np.asarray(m.valid)
-        ia, ib = np.asarray(m.idx_a), np.asarray(m.idx_b)
+        projection under `init_pose` (tracking only — probes stay unguided).
 
+        One fused device dispatch (projection -> match -> robust pose GN)
+        returning one packed buffer; the host only gathers the reference
+        landmark positions from its own bookkeeping."""
+        n_ref = ref_kf.kp["x"].shape[0]
+        has = ref_kf.kp_lm >= 0
+        if self.landmarks.shape[0] > 0:
+            lms_a = self.landmarks[np.clip(ref_kf.kp_lm, 0,
+                                           self.landmarks.shape[0] - 1)]
+        else:
+            lms_a = np.zeros((n_ref, 3), np.float32)
+            has = np.zeros((n_ref,), bool)
+        use_guided = bool(guided and self.cfg.guided_radius > 0 and
+                          has.any())
+        uv_b = np.stack([kp["u"], kp["v"]], -1).astype(np.float32)
+
+        packed = np.asarray(self._jit_kf_track[use_guided](
+            self._next_key(), jnp.asarray(init_pose),
+            jnp.asarray(ref_kf.kp["desc"]), jnp.asarray(ref_kf.kp["valid"]),
+            jnp.asarray(lms_a.astype(np.float32)), jnp.asarray(has),
+            jnp.asarray(kp["desc"]), jnp.asarray(kp["valid"]),
+            jnp.asarray(uv_b)))
+
+        M = self.cfg.match.max_matches
+        ia = packed[0:M].astype(np.int32)
+        ib = packed[M:2 * M].astype(np.int32)
+        valid = packed[2 * M:3 * M] > 0.5
+        inl_slot = packed[3 * M:4 * M] > 0.5          # per match slot
+        pose = packed[4 * M:4 * M + 6].astype(np.float32)
+        n_inl = int(packed[4 * M + 6])
+        rmse = float(packed[4 * M + 7])
+
+        m = Matches(idx_a=jnp.asarray(ia), idx_b=jnp.asarray(ib),
+                    distance=jnp.zeros((M,), jnp.float32),
+                    valid=jnp.asarray(valid))
         lm_of_match = ref_kf.kp_lm[ia]
         has_lm = valid & (lm_of_match >= 0)
-        cap = self.cfg.match.max_matches
-        lms = np.zeros((cap, 3), np.float32)
-        uv = np.zeros((cap, 2), np.float32)
         sel = np.nonzero(has_lm)[0]
-        lms[:sel.shape[0]] = self.landmarks[lm_of_match[sel]]
-        uv[:sel.shape[0], 0] = kp["u"][ib[sel]]
-        uv[:sel.shape[0], 1] = kp["v"][ib[sel]]
-        pvalid = np.zeros(cap, bool)
-        pvalid[:sel.shape[0]] = True
-
-        pose, inliers, rmse = self._jit_localize(
-            self._next_key(), jnp.asarray(init_pose), jnp.asarray(lms),
-            jnp.asarray(uv), jnp.asarray(pvalid))
-        pose = np.asarray(pose)
-        inliers = np.asarray(inliers)
-        return pose, inliers, float(rmse), m, sel, lm_of_match, \
-            int(inliers.sum())
+        # Compacted inlier layout (row i of the old localize call was match
+        # row sel[i]) so promotion bookkeeping stays unchanged.
+        inliers = np.zeros((M,), bool)
+        inliers[:sel.shape[0]] = inl_slot[sel]
+        return pose, inliers, rmse, m, sel, lm_of_match, n_inl
 
     def _attempt_relocalization(self, kp):
         """Probe keyframes across the history for a confident re-fix.
@@ -701,8 +882,13 @@ class SfmPipeline:
                 out_ids[:k] = ids[first]
                 out_valid = np.zeros((M,), bool)
                 out_valid[:k] = True
-                window_desc = jnp.concatenate(
-                    [kf.kp["desc"] for kf in reversed(window)], axis=0)
+                # Pad the concat to a FIXED window_size buffers (fillers
+                # are never indexed by sel_rows) so the gather program
+                # compiles once, not once per window length.
+                bufs = [kf.kp["desc"] for kf in reversed(window)]
+                while len(bufs) < cfg.window_size:
+                    bufs.append(bufs[0])
+                window_desc = jnp.concatenate(bufs, axis=0)
                 out_desc = window_desc[jnp.asarray(sel_rows)]   # (M, D) dev
                 result = (out_desc, out_valid, out_ids)
         self._local_map_cache = (self._map_version, result)
@@ -828,13 +1014,22 @@ class SfmPipeline:
         no_lm = valid & (kf_prev.kp_lm[ia] < 0)
         nsel = np.nonzero(no_lm)[0]
         if nsel.shape[0] > 0:
-            pa = np.stack([kf_prev.kp["u"][ia[nsel]],
-                           kf_prev.kp["v"][ia[nsel]]], -1)
-            pb = np.stack([kp["u"][ib[nsel]], kp["v"][ib[nsel]]], -1)
-            X, good = self._jit_triangulate(
+            # Static capacity: pad to the match buffer size so the program
+            # compiles once (padding rows triangulate garbage but are
+            # dropped by the nsel-bounded mask below).
+            cap = self.cfg.match.max_matches
+            nsel = nsel[:cap]
+            pa = np.zeros((cap, 2), np.float32)
+            pb = np.zeros((cap, 2), np.float32)
+            pa[:nsel.shape[0], 0] = kf_prev.kp["u"][ia[nsel]]
+            pa[:nsel.shape[0], 1] = kf_prev.kp["v"][ia[nsel]]
+            pb[:nsel.shape[0], 0] = kp["u"][ib[nsel]]
+            pb[:nsel.shape[0], 1] = kp["v"][ib[nsel]]
+            packed = np.asarray(self._jit_triangulate(
                 jnp.asarray(kf_prev.pose), jnp.asarray(pose),
-                jnp.asarray(pa, jnp.float32), jnp.asarray(pb, jnp.float32))
-            X, good = np.asarray(X), np.asarray(good)
+                jnp.asarray(pa), jnp.asarray(pb)))
+            X = packed[:nsel.shape[0], :3]
+            good = packed[:nsel.shape[0], 3] > 0.5
             gsel = np.nonzero(good)[0]
             if gsel.shape[0] > 0:
                 base = self.landmarks.shape[0]

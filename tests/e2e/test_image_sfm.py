@@ -193,3 +193,18 @@ def test_async_deferred_ba_keeps_accuracy(frames):
     gt = np.stack([[STEP * i, 0.0, 0.0] for i in range(N_FRAMES)])
     ate = ate_rmse(pipe.positions(), gt, align=True, with_scale=True)
     assert ate < 0.05, ate
+
+
+@pytest.mark.slow
+def test_chunked_tracking_matches_per_frame_ate(frames):
+    """Device-resident chunked tracking (one scan dispatch per extraction
+    batch) must hold the same ATE bound as the per-frame path."""
+    cfg = _cfg().replace(chunked_tracking=True, ba_async=True)
+    pipe = SfmPipeline(INTR, cfg)
+    pipe.process_sequence(list(frames), batch=4)
+    assert pipe.state == "tracking"
+    tracked = [r["tracked"] for r in pipe.trajectory]
+    assert np.mean(tracked) > 0.7, tracked
+    gt = np.stack([[STEP * i, 0.0, 0.0] for i in range(N_FRAMES)])
+    ate = ate_rmse(pipe.positions(), gt, align=True, with_scale=True)
+    assert ate < 0.05, ate
