@@ -164,8 +164,8 @@ def bench_roofline():
 
     rows.append(measure_roofline("matcher", fn_match, (jnp.asarray(d[0]),)))
 
-    # window BA
-    ncam, nlm, cap = (8, 256, 2048) if SMALL else (8, 2048, 8192)
+    # window BA (full visibility: obs = ncam * nlm must fit cap)
+    ncam, nlm, cap = (8, 256, 2048) if SMALL else (8, 1024, 8192)
     scene = make_scene(np.random.default_rng(2), num_cameras=ncam,
                       num_landmarks=nlm, pose_noise=0.01,
                       landmark_noise=0.05)

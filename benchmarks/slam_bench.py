@@ -177,8 +177,9 @@ def bench_stages():
                     unit="ms", detail=f"localmap={M} kps={N}"))
 
     # --- window BA at the tracking budget ---
+    # nlm * ncam (full visibility) must fit the observation capacity.
     ncam = cfg.window_size
-    nlm = 512 if SMALL else cfg.ba_max_landmarks
+    nlm = 256 if SMALL else cfg.ba_max_observations // ncam // 2
     scene = make_scene(np.random.default_rng(2), num_cameras=ncam,
                        num_landmarks=nlm, pose_noise=0.01,
                        landmark_noise=0.05)

@@ -157,6 +157,13 @@ class SfmPipeline:
                 return extract(gray, cfg.sift, with_descriptors=True)
 
         @jax.jit
+        def _extract_batch(imgs):
+            return jax.vmap(
+                lambda im: extract(im, cfg.sift, with_descriptors=True))(imgs)
+
+        self._jit_extract_batch = _extract_batch
+
+        @jax.jit
         def _match(da, va, db, vb):
             return match_descriptors(da, va, db, vb, cfg.match)
 
@@ -400,13 +407,23 @@ class SfmPipeline:
         else:
             ba_cfg_track = ba_cfg
 
+        def _pack_ba(st):
+            # one packed buffer per BA: poses | landmarks | rmse | iters
+            f32 = jnp.float32
+            return jnp.concatenate([
+                st.poses.reshape(-1), st.landmarks.reshape(-1),
+                st.rmse[None].astype(f32),
+                st.iterations[None].astype(f32)])
+
         @functools.partial(jax.jit, static_argnums=())
         def _window_ba(poses, lms, oc, ol, ouv, ov, fixed):
-            return run_ba(poses, K, lms, oc, ol, ouv, ov, ba_cfg, fixed)
+            return _pack_ba(
+                run_ba(poses, K, lms, oc, ol, ouv, ov, ba_cfg, fixed))
 
         @functools.partial(jax.jit, static_argnums=())
         def _window_ba_track(poses, lms, oc, ol, ouv, ov, fixed):
-            return run_ba(poses, K, lms, oc, ol, ouv, ov, ba_cfg_track, fixed)
+            return _pack_ba(
+                run_ba(poses, K, lms, oc, ol, ouv, ov, ba_cfg_track, fixed))
 
         self._jit_extract = _extract
         self._jit_match = _match
@@ -520,11 +537,9 @@ class SfmPipeline:
         assert self.frontend is None, \
             "process_sequence uses the built-in extractor"
         cfg = self.cfg
-
-        @jax.jit
-        def _extract_batch(imgs):
-            return jax.vmap(
-                lambda im: extract(im, cfg.sift, with_descriptors=True))(imgs)
+        # Stage-level jit (NOT defined here): a fresh jit wrapper per call
+        # would re-trace/compile on every process_sequence invocation.
+        _extract_batch = self._jit_extract_batch
 
         results = []
         n = len(frames)
@@ -1305,15 +1320,20 @@ class SfmPipeline:
             return
         self._apply_ba_result(st, window, uniq, L, O)
 
-    def _apply_ba_result(self, st, window, uniq, L, O):
-        new_poses = np.asarray(st.poses)
-        new_lms = np.asarray(st.landmarks)
+    def _apply_ba_result(self, packed, window, uniq, L, O):
+        """`packed`: the BA jit's single buffer [poses | landmarks | rmse |
+        iters] — one host read applies the whole result."""
+        packed = np.asarray(packed)
+        C = self.cfg.window_size
+        Lcap = self.cfg.ba_max_landmarks
+        new_poses = packed[:C * 6].reshape(C, 6).astype(np.float32)
+        new_lms = packed[C * 6:C * 6 + Lcap * 3].reshape(Lcap, 3)
         for ci, kf in enumerate(window):
             kf.pose = new_poses[ci]
-        self.landmarks[uniq] = new_lms[:L]
+        self.landmarks[uniq] = new_lms[:L].astype(np.float32)
         if self.logger is not None:
-            self.logger.log("window_ba", rmse=float(st.rmse),
-                            iters=int(st.iterations), n_obs=O, n_lms=L)
+            self.logger.log("window_ba", rmse=float(packed[-2]),
+                            iters=int(packed[-1]), n_obs=O, n_lms=L)
 
     def _flush_ba(self):
         """Apply a deferred window-BA result, if any."""

@@ -155,10 +155,14 @@ def test_dot_metric_equals_l2_on_unit_descriptors():
     m_dot = match_descriptors(jnp.asarray(a), jnp.ones(n, bool),
                               jnp.asarray(b), jnp.ones(n, bool),
                               MatchConfig(metric="dot", max_matches=64))
-    np.testing.assert_array_equal(np.asarray(m_l2.valid),
-                                  np.asarray(m_dot.valid))
-    v = np.asarray(m_l2.valid)
-    np.testing.assert_array_equal(np.asarray(m_l2.idx_a)[v],
-                                  np.asarray(m_dot.idx_a)[v])
-    np.testing.assert_array_equal(np.asarray(m_l2.idx_b)[v],
-                                  np.asarray(m_dot.idx_b)[v])
+    # Same match COUNT and same (a, b) pair SET; the output order may
+    # differ (matches sort by distance, and cosine vs squared-L2 round
+    # differently in f32, permuting near-ties).
+    assert int(np.asarray(m_l2.valid).sum()) == \
+        int(np.asarray(m_dot.valid).sum())
+    v2, vd = np.asarray(m_l2.valid), np.asarray(m_dot.valid)
+    pairs_l2 = set(zip(np.asarray(m_l2.idx_a)[v2].tolist(),
+                       np.asarray(m_l2.idx_b)[v2].tolist()))
+    pairs_dot = set(zip(np.asarray(m_dot.idx_a)[vd].tolist(),
+                        np.asarray(m_dot.idx_b)[vd].tolist()))
+    assert pairs_l2 == pairs_dot
