@@ -177,6 +177,43 @@ def back_substitute(sys: SchurSystem, dc: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("lij,lj->li", sys.V_inv, -sys.g_lm - wt_dc)
 
 
+def dense_schur_solve(sys: SchurSystem, b: jnp.ndarray) -> jnp.ndarray:
+    """Direct solve of the reduced camera system (window-BA fast path).
+
+    The roofline table (BENCH.md r2) shows window BA is LATENCY-bound:
+    each PCG iteration is a chain of small sequential kernels (gather ->
+    einsum -> segment_sum -> psum), and 20+ iterations serialize ~ms of
+    launch latency for microseconds of math. For window-sized camera
+    counts (C <= ~16) the 6C x 6C Schur complement fits comfortably in
+    registers/VMEM, so we materialize it with three batched einsum/
+    segment-sum passes and solve by Cholesky — one shot, no iteration.
+
+    W is assembled block-dense: per-observation coupling blocks
+    Jc_o^T Jl_o (6, 3) segment-summed into (C*L, 6, 3) keyed by
+    cam * L + lm. Under shard_map the segment sum carries the usual psum,
+    so the distributed path works unchanged.
+    """
+    C = sys.U.shape[0]
+    L = sys.V_inv.shape[0]
+
+    # (O, 6, 3) coupling blocks -> dense (C, L, 6, 3)
+    Wb = jnp.einsum("oij,oik->ojk", sys.Jc, sys.Jl)
+    key = sys.obs_cam * L + sys.obs_lm
+    W = _seg_sum(Wb, key, C * L, sys.axis_name).reshape(C, L, 6, 3)
+
+    # S = U - W V^-1 W^T, assembled blockwise.
+    T = jnp.einsum("clij,ljk->clik", W, sys.V_inv)          # (C, L, 6, 3)
+    S_off = jnp.einsum("alik,bljk->abij", T, W)             # (C, C, 6, 6)
+    S = -S_off
+    diag = jnp.arange(C)
+    S = S.at[diag, diag].add(sys.U)
+    S = S.transpose(0, 2, 1, 3).reshape(6 * C, 6 * C)
+
+    x = jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(S, lower=True), b.reshape(-1))
+    return x.reshape(C, 6)
+
+
 def pcg(sys: SchurSystem, b: jnp.ndarray, iters: int, tol: float,
         jacobi: bool = True):
     """Block-Jacobi preconditioned CG on the reduced camera system.

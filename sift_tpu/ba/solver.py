@@ -25,7 +25,7 @@ from sift_tpu.config import BAConfig
 from sift_tpu.geometry import lie
 from sift_tpu.ba.residuals import cost_parts
 from sift_tpu.ba.schur import (
-    build_system, schur_rhs, back_substitute, pcg,
+    build_system, schur_rhs, back_substitute, pcg, dense_schur_solve,
 )
 
 
@@ -84,8 +84,14 @@ def run_ba(poses, intrinsics, landmarks, obs_cam, obs_lm, obs_uv, obs_valid,
                            cfg.huber_delta, st.damping, fixed_cam_mask,
                            axis_name, cfg.loss, landmark_axis, v_mode)
         b = schur_rhs(sys)
-        dc, k = pcg(sys, b, cfg.cg_iterations, cfg.cg_tol,
-                    jacobi=cfg.jacobi_precond)
+        use_dense = cfg.solver == "dense" or \
+            (cfg.solver == "auto" and poses.shape[0] <= 16)
+        if use_dense:
+            dc = dense_schur_solve(sys, b)
+            k = jnp.asarray(0, jnp.int32)
+        else:
+            dc, k = pcg(sys, b, cfg.cg_iterations, cfg.cg_tol,
+                        jacobi=cfg.jacobi_precond)
         dc = jnp.where(fixed_cam_mask[:, None], 0.0, dc)
         dl = back_substitute(sys, dc)
         # Non-finite updates (degenerate blocks at float32 precision) must

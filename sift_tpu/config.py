@@ -117,6 +117,11 @@ class BAConfig:
     huber_delta: float = 3.0        # pixels; robust loss scale
     loss: str = "huber"             # "huber" | "cauchy" | "none"
     jacobi_precond: bool = True
+    # Reduced-camera-system solver: "pcg" (matrix-free, scales to many
+    # cameras), "dense" (one-shot Cholesky of the 6Cx6C Schur complement —
+    # the latency-optimal choice for window-sized C), or "auto" (dense
+    # when C <= 16).
+    solver: str = "auto"
 
     def replace(self, **kw) -> "BAConfig":
         return dataclasses.replace(self, **kw)

@@ -193,3 +193,33 @@ def test_pcg_without_jacobi_preconditioner_still_solves():
     x_cg, _ = pcg(sys, b, 500, 1e-8, jacobi=False)
     np.testing.assert_allclose(np.asarray(x_pre), np.asarray(x_cg),
                                atol=1e-3)
+
+
+def test_dense_schur_matches_pcg_solution():
+    """The one-shot dense Schur solve (window-BA fast path) must reach the
+    same reduced-system solution as converged PCG."""
+    from sift_tpu.ba.schur import dense_schur_solve
+    scene = make_scene(np.random.default_rng(21), num_cameras=5,
+                       num_landmarks=48, pose_noise=0.01,
+                       landmark_noise=0.05)
+    s = _to_jnp(scene)
+    sys = build_system(s["poses_init"], s["intrinsics"], s["landmarks_init"],
+                       s["obs_cam"], s["obs_lm"], s["obs_uv"], s["obs_valid"],
+                       3.0, 1e-2, _fixed_mask(5))
+    b = schur_rhs(sys)
+    x_pcg, _ = pcg(sys, b, 300, 1e-8)
+    x_dense = dense_schur_solve(sys, b)
+    np.testing.assert_allclose(np.asarray(x_dense), np.asarray(x_pcg),
+                               atol=2e-3)
+
+
+def test_run_ba_dense_solver_converges():
+    scene = make_scene(np.random.default_rng(22), num_cameras=6,
+                       num_landmarks=64, pose_noise=0.05,
+                       landmark_noise=0.2)
+    s = _to_jnp(scene)
+    cfg = BAConfig(max_iterations=15, solver="dense")
+    st = run_ba(s["poses_init"], s["intrinsics"], s["landmarks_init"],
+                s["obs_cam"], s["obs_lm"], s["obs_uv"], s["obs_valid"],
+                cfg, _fixed_mask(6))
+    assert float(st.rmse) < 0.5, float(st.rmse)
