@@ -48,64 +48,72 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 SUBL = 8          # f32 sublane tiling
+GROUP = 8         # keypoints gathered per grid step (amortizes the fixed
+                  # per-step cost ~8x; G row-band DMAs per step overlap the
+                  # previous group's shift-matmuls via 2-slot buffering)
 
 
 def _window_kernel(d: int, gl_ref, y0_ref, x0_ref, maps_ref, out_ref,
                    scratch, sems):
-    """Grid step k: gather keypoint k's (2, d, d) window.
+    """Grid step k: gather GROUP keypoints' (2, d, d) windows.
 
-    maps_ref: (2, L, Hq, 8, W) in HBM; scratch: (2 slots, 2, B8, 8, W)
-    VMEM; out_ref: (2, d, LANES) VMEM block for this keypoint.
+    maps_ref: (2, L, Hq, 8, W) in HBM; scratch: (2 slots, GROUP, 2, B8, 8,
+    W) VMEM; out_ref: (GROUP, 2, d, LANES) VMEM block for this group.
     """
     k = pl.program_id(0)
     n = pl.num_programs(0)
-    B8 = scratch.shape[2]                      # band height in 8-row tiles
-
-    def dma(slot, kk):
-        return pltpu.make_async_copy(
-            maps_ref.at[:, gl_ref[kk], pl.ds(y0_ref[kk] // SUBL, B8), :, :],
-            scratch.at[slot],
-            sems.at[slot],
-        )
-
-    # Warm-up: first grid step starts its own DMA.
-    @pl.when(k == 0)
-    def _():
-        dma(0, 0).start()
-
-    # Overlap: kick off the next keypoint's row DMA before blocking.
-    @pl.when(k + 1 < n)
-    def _():
-        dma((k + 1) % 2, k + 1).start()
-
-    dma(k % 2, k).wait()
-
+    B8 = scratch.shape[3]                      # band height in 8-row tiles
     W = scratch.shape[-1]
     B = B8 * SUBL
-    y_off = y0_ref[k] - (y0_ref[k] // SUBL) * SUBL      # [0, 8)
 
-    # One-hot row selection: Rsel[i, j] = (j == y_off + i)   (d, B)
+    def dma(slot, g, kk):
+        return pltpu.make_async_copy(
+            maps_ref.at[:, gl_ref[kk], pl.ds(y0_ref[kk] // SUBL, B8), :, :],
+            scratch.at[slot, g],
+            sems.at[slot, g],
+        )
+
+    # Warm-up: first grid step starts its own group's DMAs.
+    @pl.when(k == 0)
+    def _():
+        for g in range(GROUP):
+            dma(0, g, g).start()
+
+    # Overlap: kick off the next group's row DMAs before blocking.
+    @pl.when(k + 1 < n)
+    def _():
+        for g in range(GROUP):
+            dma((k + 1) % 2, g, (k + 1) * GROUP + g).start()
+
+    for g in range(GROUP):
+        dma(k % 2, g, k * GROUP + g).wait()
+
+    base = k * GROUP
     i_iota = lax.broadcasted_iota(jnp.int32, (d, B), 0)
     j_iota = lax.broadcasted_iota(jnp.int32, (d, B), 1)
-    rsel = (j_iota == y_off + i_iota).astype(jnp.float32)
-    # One-hot column shift: Csel[w, j] = (w == x0 + j)       (W, LANES)
     w_iota = lax.broadcasted_iota(jnp.int32, (W, LANES), 0)
     c_iota = lax.broadcasted_iota(jnp.int32, (W, LANES), 1)
-    csel = (w_iota == x0_ref[k] + c_iota).astype(jnp.float32)
-
-    band = scratch[k % 2].reshape(2, B, W)
-    for m in range(2):                                   # dx, dy maps
-        rows = jnp.dot(rsel, band[m],
-                       preferred_element_type=jnp.float32,
-                       precision=lax.Precision.HIGHEST)  # (d, W)
-        out_ref[m] = jnp.dot(rows, csel,
-                             preferred_element_type=jnp.float32,
-                             precision=lax.Precision.HIGHEST)
+    # Static per-keypoint loop of plain 2-D matmuls (Mosaic has no
+    # multi-batch dot_general); the win over the 1-kp/step version is the
+    # amortized fixed per-grid-step cost and G DMAs in flight at once.
+    for g in range(GROUP):
+        y0g = y0_ref[base + g]
+        y_off = y0g - (y0g // SUBL) * SUBL                   # [0, 8)
+        rsel = (j_iota == y_off + i_iota).astype(jnp.float32)
+        csel = (w_iota == x0_ref[base + g] + c_iota).astype(jnp.float32)
+        band = scratch[k % 2, g].reshape(2, B, W)
+        for m in range(2):
+            rows = jnp.dot(rsel, band[m],
+                           preferred_element_type=jnp.float32,
+                           precision=lax.Precision.HIGHEST)  # (d, W)
+            out_ref[g, m] = jnp.dot(rows, csel,
+                                    preferred_element_type=jnp.float32,
+                                    precision=lax.Precision.HIGHEST)
 
 
 def _kernel_entry(d, gl_ref, y0_ref, x0_ref, maps_ref, out_ref,
                   scratch, sems):
-    # out_ref block is (1, 2, d, LANES); drop the leading keypoint axis.
+    # out_ref block is (1, GROUP, 2, d, LANES); drop the leading group axis.
     _window_kernel(d, gl_ref, y0_ref, x0_ref, maps_ref, out_ref.at[0],
                    scratch, sems)
 
@@ -138,24 +146,32 @@ def gather_windows_pallas(maps: jnp.ndarray, gl: jnp.ndarray,
                            (0, Wp - W)))
     maps5 = maps5.reshape(2, L, Hq, SUBL, Wp)
 
+    # Pad the keypoint list to a GROUP multiple (coords (0,0,0) are always
+    # in-bounds; padded outputs are sliced off below).
+    Kp = -(-K // GROUP) * GROUP
+    pad = Kp - K
+    gl = jnp.pad(gl.astype(jnp.int32), (0, pad))
+    y0 = jnp.pad(y0.astype(jnp.int32), (0, pad))
+    x0 = jnp.pad(x0.astype(jnp.int32), (0, pad))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(K,),
+        grid=(Kp // GROUP,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec((1, 2, d, LANES),
-                               lambda k, *_: (k, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, GROUP, 2, d, LANES),
+                               lambda k, *_: (k, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, B8, SUBL, Wp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, GROUP, 2, B8, SUBL, Wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, GROUP)),
         ],
     )
 
     out = pl.pallas_call(
         functools.partial(_kernel_entry, d),
-        out_shape=jax.ShapeDtypeStruct((K, 2, d, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Kp // GROUP, GROUP, 2, d, LANES),
+                                       jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(gl.astype(jnp.int32), y0.astype(jnp.int32), x0.astype(jnp.int32),
-      maps5)
-    return out[..., :d]
+    )(gl, y0, x0, maps5)
+    return out.reshape(Kp, 2, d, LANES)[:K, :, :, :d]
