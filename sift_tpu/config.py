@@ -220,6 +220,13 @@ class PipelineConfig:
 
     # Loop closure / pose-graph SLAM.
     enable_loop_closure: bool = False
+    # Optimize the pose graph over Sim(3) instead of SE(3): monocular
+    # odometry accumulates SCALE drift, and an SE(3) graph has no variable
+    # to absorb it — the loop edge's relative scale (Umeyama on duplicate-
+    # landmark pairs) propagates through 7-dof nodes and landmarks are
+    # re-anchored with their creating keyframe's similarity correction
+    # (Strasdat RSS 2010). Metric pipelines (RGB-D/stereo) keep SE(3).
+    pose_graph_sim3: bool = False
     loop_candidates: int = 4          # old keyframes probed per promotion
     loop_min_inliers: int = 40        # 2D-3D inliers to accept a closure
     loop_max_rmse: float = 1.0        # px; genuine revisits re-localize tightly

@@ -90,6 +90,12 @@ def _pgo_jit(graph):
 
 
 @jax.jit
+def _pgo_sim3_jit(graph):
+    from sift_tpu.slam.pose_graph import optimize_pose_graph_sim3
+    return optimize_pose_graph_sim3(graph, iterations=15)
+
+
+@jax.jit
 def _pack_kp_meta(kp: Keypoints) -> jnp.ndarray:
     """(4, N) f32: x, y, octave, valid — one host read instead of four."""
     return jnp.stack([kp.x, kp.y, kp.octave.astype(jnp.float32),
@@ -668,6 +674,8 @@ class SfmPipeline:
             edges_w=np.asarray([e["w"] for e in self.pose_edges], np.float32),
             edges_loop=np.asarray(
                 [e.get("kind") == "loop" for e in self.pose_edges], bool),
+            edges_sigma=np.asarray(
+                [e.get("sigma", 0.0) for e in self.pose_edges], np.float32),
         )
         for i, kf in enumerate(self.keyframes):
             arrays[f"kf{i}_pose"] = kf.pose
@@ -700,10 +708,13 @@ class SfmPipeline:
             self.keyframes.append(kf)
         self._map_version += 1
         self._local_map_cache = None
+        sig = z["edges_sigma"] if "edges_sigma" in z.files else \
+            np.zeros(z["edges_i"].shape[0], np.float32)
         self.pose_edges = [
             dict(i=int(z["edges_i"][k]), j=int(z["edges_j"][k]),
                  z=z["edges_z"][k], w=float(z["edges_w"][k]),
-                 kind="loop" if z["edges_loop"][k] else "odom")
+                 kind="loop" if z["edges_loop"][k] else "odom",
+                 sigma=float(sig[k]))
             for k in range(z["edges_i"].shape[0])]
 
     def positions(self) -> np.ndarray:
@@ -1146,17 +1157,39 @@ class SfmPipeline:
             if n_inl < cfg.loop_min_inliers or \
                     float(rmse) > cfg.loop_max_rmse:
                 continue
+            inl_np = np.asarray(inl)[:sel.shape[0]]
+            # Scale drift across the loop (Sim(3) graphs only): the new
+            # keyframe's duplicate landmark estimates vs the old map's
+            # points for the same physical features. Umeyama's scale s_u
+            # maps local -> old (an inflated local map gives s_u < 1), and
+            # the landmark re-anchor applies D = S_new S_old^-1, so the
+            # new node's sigma must equal log(s_u) for D to carry the
+            # shrink — hence edge sigma_z = sigma_j - sigma_i = log(s_u).
+            sigma = 0.0
+            if cfg.pose_graph_sim3:
+                cur_ids = new_kf.kp_lm[ib[sel[inl_np]]]
+                old_ids = lm_of[sel[inl_np]]
+                dup = (cur_ids >= 0) & (cur_ids != old_ids)
+                if dup.sum() >= 8:
+                    from sift_tpu.geometry import sim3 as sim3m
+                    src = self.landmarks[cur_ids[dup]].astype(np.float32)
+                    dst = self.landmarks[old_ids[dup]].astype(np.float32)
+                    s_u, _, _ = sim3m.umeyama_alignment(
+                        jnp.asarray(src), jnp.asarray(dst),
+                        jnp.ones(src.shape[0], jnp.float32))
+                    s_u = float(np.clip(float(s_u), 0.2, 5.0))
+                    sigma = float(np.log(s_u))
+
             # Edge: old -> new with the re-localized pose.
             self.pose_edges.append(dict(
                 i=int(oi), j=new_idx, kind="loop",
                 z=self._rel_pose(old_kf.pose, np.asarray(pose)),
-                w=cfg.loop_weight))
+                w=cfg.loop_weight, sigma=sigma))
             self.num_loop_closures += 1
             # Landmark fusion: the accepted 2D-3D inliers tie new-keyframe
             # keypoints to OLD map points — adopt/merge so subsequent window
             # BA constrains the loop through shared observations, not only
             # through the pose-graph edge.
-            inl_np = np.asarray(inl)[:sel.shape[0]]
             self._fuse_loop_landmarks(new_kf, ib[sel[inl_np]],
                                       lm_of[sel[inl_np]])
             if self.logger is not None:
@@ -1229,23 +1262,76 @@ class SfmPipeline:
         fixed = np.ones(N, bool)
         fixed[1:n] = False              # node 0 is the gauge
 
-        graph = PoseGraph(poses=jnp.asarray(poses), edge_i=jnp.asarray(ei),
-                          edge_j=jnp.asarray(ej), edge_z=jnp.asarray(ez),
-                          edge_w=jnp.asarray(ew), fixed=jnp.asarray(fixed))
-        out = np.asarray(_pgo_jit(graph).poses)
+        if cfg.pose_graph_sim3:
+            self._run_pose_graph_sim3(ei, ej, ez, ew, fixed, old_poses, n, N)
+        else:
+            graph = PoseGraph(poses=jnp.asarray(poses),
+                              edge_i=jnp.asarray(ei),
+                              edge_j=jnp.asarray(ej), edge_z=jnp.asarray(ez),
+                              edge_w=jnp.asarray(ew),
+                              fixed=jnp.asarray(fixed))
+            out = np.asarray(_pgo_jit(graph).poses)
 
-        # Apply corrections: keyframe poses, then landmarks via the rigid
-        # delta of their creating keyframe (T_new T_old^-1), batched.
-        Rd, td = lie_np.pose_deltas(
-            np.pad(old_poses, ((0, N - n), (0, 0))), out)
-        for k in range(n):
-            self.keyframes[k].pose = out[k]
-        ref = self.lm_ref_kf
-        self.landmarks = np.einsum("lij,lj->li", Rd[ref], self.landmarks) \
-            + td[ref]
+            # Apply corrections: keyframe poses, then landmarks via the
+            # rigid delta of their creating keyframe (T_new T_old^-1).
+            Rd, td = lie_np.pose_deltas(
+                np.pad(old_poses, ((0, N - n), (0, 0))), out)
+            for k in range(n):
+                self.keyframes[k].pose = out[k]
+            ref = self.lm_ref_kf
+            self.landmarks = np.einsum("lij,lj->li", Rd[ref],
+                                       self.landmarks) + td[ref]
         if self.logger is not None:
             self.logger.log("pose_graph", nodes=n,
-                            edges=len(self.pose_edges))
+                            edges=len(self.pose_edges),
+                            sim3=bool(cfg.pose_graph_sim3))
+
+    def _run_pose_graph_sim3(self, ei, ej, ez6, ew, fixed, old_poses,
+                             n: int, N: int):
+        """Sim(3) pose-graph step: 7-dof nodes absorb monocular scale
+        drift; landmarks are re-anchored with the full similarity delta of
+        their creating keyframe (X' = s_d R_d X + t_d), and keyframe poses
+        take the (R, t) part — the residual scale has been pushed into the
+        landmarks, and the next window BA polishes the seam."""
+        from sift_tpu.geometry import sim3 as sim3m
+        from sift_tpu.slam.pose_graph import Sim3Graph
+
+        E = ez6.shape[0]
+        sig = np.zeros((E,), np.float32)
+        for k, e in enumerate(self.pose_edges):
+            sig[k] = float(e.get("sigma", 0.0))
+        # Edge measurement as a true Sim(3) log: the host stores the SE(3)
+        # relative log plus a scalar sigma; the similarity they describe is
+        # (e^sigma, R_z, t_z), whose log's v-component differs from the
+        # SE(3) one whenever sigma != 0 (W(omega, sigma) != V(omega)).
+        Rz, tz = lie.se3_exp(jnp.asarray(ez6))
+        ez7 = np.asarray(sim3m.sim3_log(jnp.exp(jnp.asarray(sig)), Rz, tz),
+                         np.float32)
+        poses7 = np.zeros((N, 7), np.float32)
+        poses7[:n, :6] = old_poses
+
+        graph = Sim3Graph(
+            poses=jnp.asarray(poses7), edge_i=jnp.asarray(ei),
+            edge_j=jnp.asarray(ej), edge_z=jnp.asarray(ez7),
+            edge_w=jnp.asarray(ew), fixed=jnp.asarray(fixed))
+        out = np.asarray(_pgo_sim3_jit(graph).poses)          # (N, 7)
+
+        # Similarity deltas D_k = S_new S_old^-1 per node (old sigma = 0).
+        s_new, R_new, t_new = sim3m.sim3_exp(jnp.asarray(out[:n]))
+        s_old, R_old, t_old = sim3m.sim3_exp(
+            jnp.asarray(np.concatenate(
+                [old_poses, np.zeros((n, 1), np.float32)], -1)))
+        sd, Rd, td = sim3m.sim3_compose(
+            s_new, R_new, t_new, *sim3m.sim3_inverse(s_old, R_old, t_old))
+        sd, Rd, td = np.asarray(sd), np.asarray(Rd), np.asarray(td)
+
+        for k in range(n):
+            self.keyframes[k].pose = _se3_log_np(
+                np.asarray(R_new[k]), np.asarray(t_new[k]))
+        ref = self.lm_ref_kf
+        self.landmarks = (sd[ref, None] *
+                          np.einsum("lij,lj->li", Rd[ref], self.landmarks)
+                          + td[ref]).astype(np.float32)
 
     # ------------------------------------------------------------------ ba
     def _run_window_ba(self, fix_first_n: int = 2):

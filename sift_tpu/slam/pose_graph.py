@@ -111,6 +111,158 @@ def _h_matvec(Ji, Jj, ei, ej, n, x, damping, axis_name=None):
     return out + damping * x
 
 
+# --------------------------------------------------------------- Sim(3)
+#
+# Monocular loop closure needs the 7-dof similarity group: the loop edge
+# carries the accumulated SCALE drift as well as the pose drift (Strasdat
+# RSS 2010). Same GN/LM + matrix-free CG machinery as SE(3), with 7x7
+# blocks; odometry edges have sigma_z = 0, the loop edge's sigma comes
+# from Umeyama on duplicate-landmark pairs (sim3.umeyama_alignment).
+
+
+@struct.dataclass
+class Sim3Graph:
+    """Fixed-capacity Sim(3) pose graph (layout mirrors PoseGraph).
+
+    poses:     (N, 7) sim(3) tangents (omega, v, sigma).
+    edge_z:    (E, 7) measured relative similarity log(S_i^-1 S_j).
+    """
+
+    poses: jnp.ndarray
+    edge_i: jnp.ndarray
+    edge_j: jnp.ndarray
+    edge_z: jnp.ndarray
+    edge_w: jnp.ndarray
+    fixed: jnp.ndarray
+
+
+def sim3_edge_residual(xi_i, xi_j, z):
+    """r = log(exp(z)^-1 exp(xi_i)^-1 exp(xi_j)) in R^7."""
+    from sift_tpu.geometry import sim3
+    Si = sim3.sim3_exp(xi_i)
+    Sj = sim3.sim3_exp(xi_j)
+    Sz = sim3.sim3_exp(z)
+    Sij = sim3.sim3_compose(*sim3.sim3_inverse(*Si), *Sj)
+    Sr = sim3.sim3_compose(*sim3.sim3_inverse(*Sz), *Sij)
+    return sim3.sim3_log(*Sr)
+
+
+def _linearize_sim3(graph: Sim3Graph):
+    from sift_tpu.geometry import sim3
+
+    def one(i, j, z, w):
+        xi_i, xi_j = graph.poses[i], graph.poses[j]
+        Si = sim3.sim3_exp(xi_i)
+        Sj = sim3.sim3_exp(xi_j)
+        Szi = sim3.sim3_inverse(*sim3.sim3_exp(z))
+
+        def f(di, dj):
+            Sia = sim3.sim3_compose(*Si, *sim3.sim3_exp(di))
+            Sja = sim3.sim3_compose(*Sj, *sim3.sim3_exp(dj))
+            Sij = sim3.sim3_compose(*sim3.sim3_inverse(*Sia), *Sja)
+            return sim3.sim3_log(*sim3.sim3_compose(*Szi, *Sij))
+
+        zero = jnp.zeros((7,), graph.poses.dtype)
+        r = f(zero, zero)
+        Ji, Jj = jax.jacfwd(f, argnums=(0, 1))(zero, zero)
+        sw = jnp.sqrt(jnp.maximum(w, 0.0))
+        return r * sw, Ji * sw, Jj * sw
+
+    r, Ji, Jj = jax.vmap(one)(graph.edge_i, graph.edge_j,
+                              graph.edge_z, graph.edge_w)
+    free_i = 1.0 - graph.fixed[graph.edge_i].astype(Ji.dtype)
+    free_j = 1.0 - graph.fixed[graph.edge_j].astype(Jj.dtype)
+    return r, Ji * free_i[:, None, None], Jj * free_j[:, None, None]
+
+
+def optimize_pose_graph_sim3(graph: Sim3Graph,
+                             iterations: int = 20,
+                             cg_iterations: int = 64,
+                             cg_tol: float = 1e-6,
+                             damping_init: float = 1e-4,
+                             axis_name: Optional[str] = None) -> Sim3Graph:
+    """Levenberg-Marquardt on the Sim(3) graph (one jitted while_loop)."""
+    from sift_tpu.geometry import sim3
+    n = graph.poses.shape[0]
+    D = 7
+
+    def total_cost(poses):
+        r, _, _ = _linearize_sim3(graph.replace(poses=poses))
+        c = jnp.sum(r * r)
+        if axis_name is not None:
+            c = lax.psum(c, axis_name)
+        return c
+
+    def cg_solve(Ji, Jj, b, damping):
+        di = jnp.einsum("eij,eik->ejk", Ji, Ji)
+        dj = jnp.einsum("eij,eik->ejk", Jj, Jj)
+        Dm = _seg_sum(di, graph.edge_i, n, axis_name) + \
+            _seg_sum(dj, graph.edge_j, n, axis_name) + \
+            damping * jnp.eye(D, dtype=b.dtype)
+        M_inv = jnp.linalg.inv(Dm)
+        precond = lambda v: jnp.einsum("nij,nj->ni", M_inv, v)
+
+        def matvec(x):
+            t = (jnp.einsum("eij,ej->ei", Ji, x[graph.edge_i]) +
+                 jnp.einsum("eij,ej->ei", Jj, x[graph.edge_j]))
+            gi = jnp.einsum("eij,ei->ej", Ji, t)
+            gj = jnp.einsum("eij,ei->ej", Jj, t)
+            return _seg_sum(gi, graph.edge_i, n, axis_name) + \
+                _seg_sum(gj, graph.edge_j, n, axis_name) + damping * x
+
+        dot = lambda a, bb: jnp.sum(a * bb)
+        b_norm2 = jnp.maximum(dot(b, b), 1e-30)
+
+        def cond(carry):
+            _, r, _, _, k = carry
+            return (k < cg_iterations) & (dot(r, r) > cg_tol ** 2 * b_norm2)
+
+        def body(carry):
+            x, r, p, rz, k = carry
+            Ap = matvec(p)
+            alpha = rz / jnp.maximum(dot(p, Ap), 1e-30)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = precond(r)
+            rz_new = dot(r, z)
+            p = z + (rz_new / jnp.maximum(rz, 1e-30)) * p
+            return x, r, p, rz_new, k + 1
+
+        z0 = precond(b)
+        x, *_ = lax.while_loop(cond, body,
+                               (jnp.zeros_like(b), b, z0, dot(b, z0), 0))
+        return x
+
+    def body(carry):
+        poses, cost_prev, damping, it = carry
+        r, Ji, Jj = _linearize_sim3(graph.replace(poses=poses))
+        gi = jnp.einsum("eij,ei->ej", Ji, r)
+        gj = jnp.einsum("eij,ei->ej", Jj, r)
+        grad = _seg_sum(gi, graph.edge_i, n, axis_name) + \
+            _seg_sum(gj, graph.edge_j, n, axis_name)
+        dx = cg_solve(Ji, Jj, -grad, damping)
+        dx = jnp.where(graph.fixed[:, None], 0.0, dx)
+        poses_new = sim3.boxplus(poses, dx)
+        cost_new = total_cost(poses_new)
+        accept = cost_new < cost_prev
+        poses = jnp.where(accept, poses_new, poses)
+        cost_next = jnp.where(accept, cost_new, cost_prev)
+        damping = jnp.where(accept, jnp.maximum(damping / 3.0, 1e-9),
+                            damping * 4.0)
+        return poses, cost_next, damping, it + 1
+
+    def cond(carry):
+        _, _, damping, it = carry
+        return (it < iterations) & (damping < 1e8)
+
+    c0 = total_cost(graph.poses)
+    poses, _, _, _ = lax.while_loop(
+        cond, body,
+        (graph.poses, c0, jnp.asarray(damping_init, jnp.float32),
+         jnp.asarray(0, jnp.int32)))
+    return graph.replace(poses=poses)
+
+
 def optimize_pose_graph(graph: PoseGraph,
                         iterations: int = 20,
                         cg_iterations: int = 64,

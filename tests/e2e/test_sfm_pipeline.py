@@ -363,3 +363,64 @@ def test_pipeline_deterministic(world):
             pipe.process_frame(np.full((2, 2), i, np.float32))
         traj.append(pipe.positions())
     np.testing.assert_allclose(traj[0], traj[1], atol=1e-6)
+
+
+def test_sim3_pose_graph_corrects_scale_drift():
+    """Inject SIMILARITY drift (scale 1.25 + rigid offset) into the later
+    keyframes and their landmarks — the monocular failure mode. With
+    pose_graph_sim3=True and a loop edge carrying the relative scale, the
+    optimizer must restore both position and SCALE (inter-landmark
+    distances), which the SE(3) graph structurally cannot."""
+    from sift_tpu.geometry import sim3 as sim3m
+
+    world = SyntheticWorld()
+    frames = {i: world.frame_keypoints(i) for i in range(len(world.poses))}
+    cfg = _loop_cfg().replace(pose_graph_sim3=True)
+    pipe = SfmPipeline(INTR, cfg,
+                       frontend=lambda g: frames[int(g[0, 0])])
+    for i in range(16):
+        pipe.process_frame(np.full((2, 2), i, np.float32))
+    n = len(pipe.keyframes)
+    assert n >= 4
+
+    true_last = pipe.keyframes[-1].pose.copy()
+    mask = pipe.lm_ref_kf >= 2
+    d_true = np.linalg.norm(
+        pipe.landmarks[mask][:40, None] - pipe.landmarks[mask][None, :40],
+        axis=-1)
+
+    # Similarity drift on keyframes >= 2: scale s about the origin plus a
+    # rigid offset, applied consistently to poses and their landmarks.
+    s_d = 1.25
+    drift = np.array([0.0, 0.02, 0.0, 0.3, -0.1, 0.05], np.float32)
+    Rd, td = lie.se3_exp(jnp.asarray(drift))
+    Rd, td = np.asarray(Rd), np.asarray(td)
+    for k in range(2, n):
+        R, t = lie.se3_exp(jnp.asarray(pipe.keyframes[k].pose))
+        Rn = Rd @ np.asarray(R)
+        tn = s_d * (Rd @ np.asarray(t)) + td
+        pipe.keyframes[k].pose = np.asarray(
+            lie.se3_log(jnp.asarray(Rn), jnp.asarray(tn)))
+    pipe.landmarks[mask] = s_d * (pipe.landmarks[mask] @ Rd.T) + td
+
+    # Loop edge: true relative pose kf0 -> last kf, with the relative
+    # scale the closure's Umeyama would report: the local map is inflated
+    # by s_d, so Umeyama(local -> old) gives s_u = 1/s_d and the edge
+    # carries sigma_z = log(s_u) = -log(s_d).
+    pipe.pose_edges.append(dict(
+        i=0, j=n - 1, kind="loop",
+        z=pipe._rel_pose(pipe.keyframes[0].pose, true_last),
+        w=100.0, sigma=float(-np.log(s_d))))
+    pipe._run_pose_graph()
+
+    # Position of the last keyframe restored.
+    _, t_fixed = lie.se3_exp(jnp.asarray(pipe.keyframes[-1].pose))
+    _, t_true = lie.se3_exp(jnp.asarray(true_last))
+    assert np.linalg.norm(np.asarray(t_fixed) - np.asarray(t_true)) < 0.2
+
+    # SCALE restored: inter-landmark distances back to pre-drift values.
+    d_after = np.linalg.norm(
+        pipe.landmarks[mask][:40, None] - pipe.landmarks[mask][None, :40],
+        axis=-1)
+    ratio = d_after[d_true > 1.0] / d_true[d_true > 1.0]
+    assert abs(np.median(ratio) - 1.0) < 0.08, np.median(ratio)
