@@ -285,7 +285,18 @@ def cmd_sfm(args) -> int:
         return 2
 
     logger = MetricsLogger(args.metrics) if args.metrics else None
-    pipe = SfmPipeline(seq.intrinsics, PipelineConfig(), logger=logger,
+    kw = {}
+    if getattr(args, "chunked", False):
+        kw["chunked_tracking"] = True
+    if getattr(args, "ba_async", False):
+        kw["ba_async"] = True
+    if getattr(args, "loop_closure", False) or getattr(args, "sim3", False):
+        kw["enable_loop_closure"] = True
+    if getattr(args, "sim3", False):
+        kw["pose_graph_sim3"] = True
+    if getattr(args, "window", None):
+        kw["window_size"] = args.window
+    pipe = SfmPipeline(seq.intrinsics, PipelineConfig(**kw), logger=logger,
                        stereo_baseline=seq.baseline if use_stereo else None)
     use_depth = args.format == "tum" and not args.no_depth
     t0 = time.perf_counter()
@@ -383,6 +394,20 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--traj", help="write trajectory positions to this file")
     ps.add_argument("--plot", help="write a top-down trajectory plot (png)")
     ps.add_argument("--verbose", action="store_true")
+    # Performance / SLAM options (round 2).
+    ps.add_argument("--chunked", action="store_true",
+                    help="device-resident chunked tracking (one scan "
+                         "dispatch per extraction batch)")
+    ps.add_argument("--ba-async", action="store_true",
+                    help="deferred (asynchronous) window BA")
+    ps.add_argument("--loop-closure", action="store_true",
+                    help="enable covisibility-gated loop closure + "
+                         "pose-graph optimization")
+    ps.add_argument("--sim3", action="store_true",
+                    help="Sim(3) pose graph (monocular scale-drift "
+                         "correction; implies --loop-closure)")
+    ps.add_argument("--window", type=int, default=None,
+                    help="sliding BA window size (keyframes)")
     ps.set_defaults(func=cmd_sfm)
 
     pb = sub.add_parser("bench", help="run the benchmark")
