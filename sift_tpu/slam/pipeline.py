@@ -282,14 +282,48 @@ class SfmPipeline:
                 (kp_batch, jnp.arange(B, dtype=jnp.int32)))
             return out                                   # (B, 8)
 
+        def _tri_pair(pose_a, pose_b, pa, pb):
+            """(M,) pixel pairs -> (M, 4) [X | good] (shared by the
+            standalone _triangulate and the fused promotion dispatch)."""
+            na = jnp.stack([(pa[:, 0] - cx) / fx, (pa[:, 1] - cy) / fy], -1)
+            nb = jnp.stack([(pb[:, 0] - cx) / fx, (pb[:, 1] - cy) / fy], -1)
+
+            def P_of(pose):
+                R, t = lie.se3_exp(pose)
+                Rt, tt = lie.se3_inverse(R, t)
+                return jnp.concatenate([Rt, tt[:, None]], 1)
+
+            Pa, Pb = P_of(pose_a), P_of(pose_b)
+            X = triangulate_dlt(Pa, Pb, na, nb)
+            za = (X @ Pa[:, :3].T + Pa[:, 3])[:, 2]
+            zb = (X @ Pb[:, :3].T + Pb[:, 3])[:, 2]
+            xa = X @ Pa[:, :3].T + Pa[:, 3]
+            ra = xa[:, :2] / jnp.maximum(za[:, None], 1e-6) - na
+            err_px = jnp.linalg.norm(ra, axis=-1) * focal
+            _, ta = lie.se3_exp(pose_a)
+            _, tb = lie.se3_exp(pose_b)
+            da = X - ta
+            db = X - tb
+            cosang = jnp.sum(da * db, -1) / jnp.maximum(
+                jnp.linalg.norm(da, axis=-1) * jnp.linalg.norm(db, axis=-1),
+                1e-9)
+            ang_ok = cosang < np.cos(
+                np.radians(cfg.min_triangulation_angle_deg))
+            good = (za > 1e-3) & (zb > 1e-3) & ang_ok & \
+                (err_px < cfg.max_reproj_error_px)
+            return jnp.concatenate(
+                [X, good.astype(jnp.float32)[:, None]], -1)
+
         def _make_kf_track(guided: bool):
             @jax.jit
-            def _kf_track(key, init_pose, desc_a, valid_a, lms_a, has_lm_a,
-                          desc_b, valid_b, uv_b):
-                """Fused keyframe match + localize (promotions, reloc
-                probes): ONE dispatch, ONE packed read — [idx_a(M),
-                idx_b(M), match_valid(M), inliers(M), pose(6), n_inl,
-                rmse]."""
+            def _kf_track(key, init_pose, pose_ref, desc_a, valid_a, lms_a,
+                          has_lm_a, uv_a, desc_b, valid_b, uv_b):
+                """Fused keyframe match + localize + candidate
+                triangulation (promotions, reloc probes): ONE dispatch,
+                ONE packed read — [idx_a(M), idx_b(M), match_valid(M),
+                inliers(M), X|good (4M, triangulated from pose_ref and the
+                ACCEPTED pose for match rows without landmarks), pose(6),
+                n_inl, rmse]."""
                 uv_pred, z = project_cam(init_pose, K, lms_a)
                 has_pred = valid_a & has_lm_a & (z > 1e-6)
                 if guided:
@@ -305,10 +339,18 @@ class SfmPipeline:
                 pose, inliers, rmse = pose_ransac_refine(
                     key, init_pose, K, lms, uv, pv,
                     delta=cfg.ransac.inlier_threshold)
+                # New-landmark candidates: 2D-2D matches without landmarks,
+                # triangulated against the accepted pose in the same
+                # program (saves a dispatch + a read per promotion).
+                tri = _tri_pair(pose_ref, pose, uv_a[m.idx_a], uv)
+                no_lm = m.valid & jnp.logical_not(has_lm_a[m.idx_a])
+                tri = tri.at[:, 3].set(
+                    tri[:, 3] * no_lm.astype(jnp.float32))
                 f32 = jnp.float32
                 return jnp.concatenate([
                     m.idx_a.astype(f32), m.idx_b.astype(f32),
-                    m.valid.astype(f32), inliers.astype(f32), pose,
+                    m.valid.astype(f32), inliers.astype(f32),
+                    tri.reshape(-1), pose,
                     jnp.sum(inliers.astype(jnp.int32)).astype(f32)[None],
                     rmse[None]])
             return _kf_track
@@ -375,35 +417,9 @@ class SfmPipeline:
             """Fixed-capacity triangulation; returns PACKED (N, 4) [X|good]
             so the host pays one read, and callers pad (pa, pb) to a static
             capacity — variable-length inputs would recompile every
-            promotion."""
-            na = jnp.stack([(pa[:, 0] - cx) / fx, (pa[:, 1] - cy) / fy], -1)
-            nb = jnp.stack([(pb[:, 0] - cx) / fx, (pb[:, 1] - cy) / fy], -1)
-
-            def P_of(pose):
-                R, t = lie.se3_exp(pose)
-                Rt, tt = lie.se3_inverse(R, t)
-                return jnp.concatenate([Rt, tt[:, None]], 1)
-
-            Pa, Pb = P_of(pose_a), P_of(pose_b)
-            X = triangulate_dlt(Pa, Pb, na, nb)
-            za = (X @ Pa[:, :3].T + Pa[:, 3])[:, 2]
-            zb = (X @ Pb[:, :3].T + Pb[:, 3])[:, 2]
-            xa = X @ Pa[:, :3].T + Pa[:, 3]
-            ra = xa[:, :2] / jnp.maximum(za[:, None], 1e-6) - na
-            err_px = jnp.linalg.norm(ra, axis=-1) * focal
-            # Triangulation (parallax) angle between the two rays.
-            _, ta = lie.se3_exp(pose_a)
-            _, tb = lie.se3_exp(pose_b)
-            da = X - ta
-            db = X - tb
-            cosang = jnp.sum(da * db, -1) / jnp.maximum(
-                jnp.linalg.norm(da, axis=-1) * jnp.linalg.norm(db, axis=-1),
-                1e-9)
-            ang_ok = cosang < np.cos(np.radians(cfg.min_triangulation_angle_deg))
-            good = (za > 1e-3) & (zb > 1e-3) & ang_ok & \
-                (err_px < cfg.max_reproj_error_px)
-            return jnp.concatenate(
-                [X, good.astype(jnp.float32)[:, None]], -1)
+            promotion. (Shared math in `_tri_pair`, which the fused
+            promotion dispatch also uses; late-bound closure.)"""
+            return _tri_pair(pose_a, pose_b, pa, pb)
 
         ba_cfg = cfg.ba
         if cfg.ba_tracking_iterations > 0:
@@ -634,11 +650,11 @@ class SfmPipeline:
             if bi == promote_at:
                 kp_i = jax.tree.map(lambda a: a[bi], kp_batch)
                 kp = _np_kp(kp_i, cfg.sift.subpixel)
-                pose, inliers, rmse, m, sel, lm_of_match, _ = \
+                pose, inliers, rmse, m, sel, lm_of_match, _, tri = \
                     self._match_and_localize(kp, self.keyframes[-1],
                                              out["pose"], guided=True)
                 self._promote_keyframe(kp, pose, m, inliers, sel,
-                                       lm_of_match)
+                                       lm_of_match, tri=tri)
                 self._frames_since_kf = 0
                 out["pose"] = self.keyframes[-1].pose
                 out["is_keyframe"] = True
@@ -817,12 +833,16 @@ class SfmPipeline:
             has = np.zeros((n_ref,), bool)
         use_guided = bool(guided and self.cfg.guided_radius > 0 and
                           has.any())
+        uv_a = np.stack([ref_kf.kp["u"], ref_kf.kp["v"]],
+                        -1).astype(np.float32)
         uv_b = np.stack([kp["u"], kp["v"]], -1).astype(np.float32)
 
         packed = np.asarray(self._jit_kf_track[use_guided](
             self._next_key(), jnp.asarray(init_pose),
+            jnp.asarray(ref_kf.pose),
             jnp.asarray(ref_kf.kp["desc"]), jnp.asarray(ref_kf.kp["valid"]),
             jnp.asarray(lms_a.astype(np.float32)), jnp.asarray(has),
+            jnp.asarray(uv_a),
             jnp.asarray(kp["desc"]), jnp.asarray(kp["valid"]),
             jnp.asarray(uv_b)))
 
@@ -831,9 +851,10 @@ class SfmPipeline:
         ib = packed[M:2 * M].astype(np.int32)
         valid = packed[2 * M:3 * M] > 0.5
         inl_slot = packed[3 * M:4 * M] > 0.5          # per match slot
-        pose = packed[4 * M:4 * M + 6].astype(np.float32)
-        n_inl = int(packed[4 * M + 6])
-        rmse = float(packed[4 * M + 7])
+        tri = packed[4 * M:8 * M].reshape(M, 4)       # [X | good] per slot
+        pose = packed[8 * M:8 * M + 6].astype(np.float32)
+        n_inl = int(packed[8 * M + 6])
+        rmse = float(packed[8 * M + 7])
 
         m = Matches(idx_a=jnp.asarray(ia), idx_b=jnp.asarray(ib),
                     distance=jnp.zeros((M,), jnp.float32),
@@ -845,7 +866,7 @@ class SfmPipeline:
         # row sel[i]) so promotion bookkeeping stays unchanged.
         inliers = np.zeros((M,), bool)
         inliers[:sel.shape[0]] = inl_slot[sel]
-        return pose, inliers, rmse, m, sel, lm_of_match, n_inl
+        return pose, inliers, rmse, m, sel, lm_of_match, n_inl, tri
 
     def _attempt_relocalization(self, kp):
         """Probe keyframes across the history for a confident re-fix.
@@ -858,14 +879,14 @@ class SfmPipeline:
                                      min(cfg.reloc_candidates, n)).astype(int))
         for oi in cand[::-1]:            # recent first
             ref = self.keyframes[oi]
-            pose, inl, rmse, m, sel, lm_of, n_inl = \
+            pose, inl, rmse, m, sel, lm_of, n_inl, tri = \
                 self._match_and_localize(kp, ref, ref.pose)
             if n_inl >= cfg.keyframe_min_inliers and \
                     rmse <= 2.0 * cfg.loop_max_rmse:
                 if self.logger is not None:
                     self.logger.log("relocalized", ref_kf=int(oi),
                                     inliers=n_inl, rmse=rmse)
-                return int(oi), pose, m, inl, sel, lm_of
+                return int(oi), pose, m, inl, sel, lm_of, tri
         return None
 
     def _build_local_map(self):
@@ -974,9 +995,9 @@ class SfmPipeline:
         if hit is not None:
             pose, n_inl, rmse = hit
         else:
-            pose, inliers, rmse, m, sel, lm_of_match, n_inl = \
+            pose, inliers, rmse, m, sel, lm_of_match, n_inl, tri = \
                 self._match_and_localize(kp(), kf, pred, guided=True)
-            kf_assoc = (m, inliers, sel, lm_of_match)
+            kf_assoc = (m, inliers, sel, lm_of_match, tri)
         tracked = n_inl >= self.cfg.keyframe_min_inliers // 2
         self._frames_since_kf += 1
 
@@ -985,14 +1006,15 @@ class SfmPipeline:
             if self._frames_lost >= self.cfg.reloc_after_lost:
                 hit = self._attempt_relocalization(kp())
                 if hit is not None:
-                    oi, pose, m, inliers, sel, lm_of_match = hit
+                    oi, pose, m, inliers, sel, lm_of_match, tri = hit
                     n_inl = int(inliers.sum())
                     tracked = True
                     # Promote immediately against the reloc reference so
                     # subsequent frames track from a fresh keyframe.
                     self._promote_keyframe(kp(), pose, m, inliers, sel,
                                            lm_of_match, depth,
-                                           ref_kf=self.keyframes[oi])
+                                           ref_kf=self.keyframes[oi],
+                                           tri=tri)
                     self._frames_since_kf = 0
                     self._frames_lost = 0
                     return dict(pose=self.keyframes[-1].pose, tracked=True,
@@ -1009,12 +1031,12 @@ class SfmPipeline:
                 # Local-map tracking: the promotion bookkeeping (carry-over
                 # + 2D-2D triangulation) needs the keyframe-aligned match;
                 # run it now, seeded by the local-map pose.
-                pose, inliers, rmse, m, sel, lm_of_match, _ = \
+                pose, inliers, rmse, m, sel, lm_of_match, _, tri = \
                     self._match_and_localize(kp(), kf, pose, guided=True)
             else:
-                m, inliers, sel, lm_of_match = kf_assoc
+                m, inliers, sel, lm_of_match, tri = kf_assoc
             self._promote_keyframe(kp(), pose, m, inliers, sel, lm_of_match,
-                                   depth)
+                                   depth, tri=tri)
             self._frames_since_kf = 0
             pose = self.keyframes[-1].pose
         return dict(pose=pose.astype(np.float32), tracked=tracked,
@@ -1023,9 +1045,13 @@ class SfmPipeline:
 
     def _promote_keyframe(self, kp, pose, m, inliers, sel, lm_of_match,
                           depth: Optional[np.ndarray] = None,
-                          ref_kf: Optional[Keyframe] = None):
+                          ref_kf: Optional[Keyframe] = None,
+                          tri: Optional[np.ndarray] = None):
         """`ref_kf`: the keyframe the match `m` was computed against
-        (defaults to the last keyframe; relocalization passes its hit)."""
+        (defaults to the last keyframe; relocalization passes its hit).
+        `tri`: optional (M, 4) [X | good] per match slot from the fused
+        match+localize+triangulate dispatch — when present the standalone
+        triangulation dispatch (and its host read) is skipped."""
         self._flush_ba()     # promotion reads/writes poses + landmarks
         kf_prev = ref_kf if ref_kf is not None else self.keyframes[-1]
         valid = np.asarray(m.valid)
@@ -1040,22 +1066,28 @@ class SfmPipeline:
         no_lm = valid & (kf_prev.kp_lm[ia] < 0)
         nsel = np.nonzero(no_lm)[0]
         if nsel.shape[0] > 0:
-            # Static capacity: pad to the match buffer size so the program
-            # compiles once (padding rows triangulate garbage but are
-            # dropped by the nsel-bounded mask below).
-            cap = self.cfg.match.max_matches
-            nsel = nsel[:cap]
-            pa = np.zeros((cap, 2), np.float32)
-            pb = np.zeros((cap, 2), np.float32)
-            pa[:nsel.shape[0], 0] = kf_prev.kp["u"][ia[nsel]]
-            pa[:nsel.shape[0], 1] = kf_prev.kp["v"][ia[nsel]]
-            pb[:nsel.shape[0], 0] = kp["u"][ib[nsel]]
-            pb[:nsel.shape[0], 1] = kp["v"][ib[nsel]]
-            packed = np.asarray(self._jit_triangulate(
-                jnp.asarray(kf_prev.pose), jnp.asarray(pose),
-                jnp.asarray(pa), jnp.asarray(pb)))
-            X = packed[:nsel.shape[0], :3]
-            good = packed[:nsel.shape[0], 3] > 0.5
+            if tri is not None:
+                # Fused path: X/good already computed per match slot
+                # against the accepted pose in the same dispatch.
+                X = tri[nsel, :3]
+                good = tri[nsel, 3] > 0.5
+            else:
+                # Static capacity: pad to the match buffer size so the
+                # program compiles once (padding rows triangulate garbage
+                # but are dropped by the nsel-bounded mask below).
+                cap = self.cfg.match.max_matches
+                nsel = nsel[:cap]
+                pa = np.zeros((cap, 2), np.float32)
+                pb = np.zeros((cap, 2), np.float32)
+                pa[:nsel.shape[0], 0] = kf_prev.kp["u"][ia[nsel]]
+                pa[:nsel.shape[0], 1] = kf_prev.kp["v"][ia[nsel]]
+                pb[:nsel.shape[0], 0] = kp["u"][ib[nsel]]
+                pb[:nsel.shape[0], 1] = kp["v"][ib[nsel]]
+                packed = np.asarray(self._jit_triangulate(
+                    jnp.asarray(kf_prev.pose), jnp.asarray(pose),
+                    jnp.asarray(pa), jnp.asarray(pb)))
+                X = packed[:nsel.shape[0], :3]
+                good = packed[:nsel.shape[0], 3] > 0.5
             gsel = np.nonzero(good)[0]
             if gsel.shape[0] > 0:
                 base = self.landmarks.shape[0]
