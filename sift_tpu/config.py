@@ -218,6 +218,12 @@ class PipelineConfig:
     reloc_after_lost: int = 3         # failed frames before attempting
     reloc_candidates: int = 6         # keyframes probed per attempt
 
+    # Global descriptor index (matching/global_index.py): MXU brute-force
+    # place recognition ranks loop-closure / relocalization candidate
+    # keyframes by descriptor votes instead of blind uniform probing.
+    use_global_index: bool = True
+    global_index_sim: float = 0.85    # cosine vote threshold
+
     # Loop closure / pose-graph SLAM.
     enable_loop_closure: bool = False
     # Optimize the pose graph over Sim(3) instead of SE(3): monocular

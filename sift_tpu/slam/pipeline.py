@@ -148,6 +148,9 @@ class SfmPipeline:
         self._map_version = 0
         self._local_map_cache = None
 
+        # Global descriptor index (lazy; built at the first promotion).
+        self._global_index = None
+
         self._build_jit_stages()
 
     # ------------------------------------------------------------------ jit
@@ -535,6 +538,7 @@ class SfmPipeline:
         kf = Keyframe(self._frame_idx, pose0, kp)
         kf.kp_lm[slots] = np.arange(slots.shape[0])
         self.keyframes.append(kf)
+        self._index_keyframe(len(self.keyframes) - 1, kf)
         self.state = "tracking"
         self._frames_since_kf = 0
         if self.logger is not None:
@@ -724,6 +728,9 @@ class SfmPipeline:
             self.keyframes.append(kf)
         self._map_version += 1
         self._local_map_cache = None
+        self._global_index = None
+        for i, kf in enumerate(self.keyframes):
+            self._index_keyframe(i, kf)
         sig = z["edges_sigma"] if "edges_sigma" in z.files else \
             np.zeros(z["edges_i"].shape[0], np.float32)
         self.pose_edges = [
@@ -745,7 +752,9 @@ class SfmPipeline:
     def _bootstrap_step(self, kp) -> Dict:
         pose0 = np.zeros(6, np.float32)
         if not self.keyframes:
-            self.keyframes.append(Keyframe(self._frame_idx, pose0, kp))
+            kf0 = Keyframe(self._frame_idx, pose0, kp)
+            self.keyframes.append(kf0)
+            self._index_keyframe(0, kf0)
             return dict(pose=pose0, tracked=True, is_keyframe=True,
                         n_inliers=0, state=self.state)
 
@@ -761,6 +770,7 @@ class SfmPipeline:
             # Too little overlap: restart from this frame.
             if self._frame_idx - kf0.frame_idx > self.cfg.kf_max_interval:
                 self.keyframes = [Keyframe(self._frame_idx, pose0, kp)]
+                self._index_keyframe(0, self.keyframes[0])
             return dict(pose=pose0, tracked=False, is_keyframe=False,
                         n_inliers=n_matches, state=self.state)
 
@@ -798,6 +808,7 @@ class SfmPipeline:
         kf0.kp_lm[ia[sel]] = lm_ids
         kf1.kp_lm[ib[sel]] = lm_ids
         self.keyframes.append(kf1)
+        self._index_keyframe(1, kf1)
         self._add_odometry_edge(0, 1)
 
         # Two-frame BA (gauge: both cameras fixed would freeze scale+pose;
@@ -868,16 +879,47 @@ class SfmPipeline:
         inliers[:sel.shape[0]] = inl_slot[sel]
         return pose, inliers, rmse, m, sel, lm_of_match, n_inl, tri
 
+    def _index_keyframe(self, idx: int, kf: Keyframe) -> None:
+        """Add a keyframe's descriptors to the global place-recognition
+        index (lazy-built to the pose-graph node capacity)."""
+        if not self.cfg.use_global_index:
+            return
+        if self._global_index is None:
+            from sift_tpu.matching.global_index import GlobalDescriptorIndex
+            self._global_index = GlobalDescriptorIndex(
+                self.cfg.max_pose_graph_nodes, kf.kp["x"].shape[0])
+        self._global_index.add(idx, kf.kp["desc"], kf.kp["valid"])
+
+    def _candidate_keyframes(self, kp, k: int,
+                             exclude_from: Optional[int] = None
+                             ) -> np.ndarray:
+        """Loop/reloc candidate keyframe indices: descriptor-vote ranking
+        from the global index when available, uniform probing otherwise."""
+        n = len(self.keyframes)
+        if self._global_index is not None:
+            cand = self._global_index.top_candidates(
+                kp["desc"], kp["valid"], k, exclude_from=exclude_from)
+            cand = cand[cand < n]
+            if cand.size > 0:
+                return cand
+        hi = (n if exclude_from is None else min(exclude_from, n)) - 1
+        if hi < 0:
+            return np.zeros((0,), int)
+        # Uniform fallback, most recent first (the return order IS the
+        # probing order; the vote-ranked path is already best-first).
+        return np.unique(np.linspace(0, hi,
+                                     min(k, hi + 1)).astype(int))[::-1]
+
     def _attempt_relocalization(self, kp):
         """Probe keyframes across the history for a confident re-fix.
 
-        Returns (ref_kf_index, pose, m, inliers, sel, lm_of_match) or None.
+        Candidates come from the global descriptor index (vote-ranked;
+        falls back to uniform probing). Returns (ref_kf_index, pose, m,
+        inliers, sel, lm_of_match, tri) or None.
         """
         cfg = self.cfg
-        n = len(self.keyframes)
-        cand = np.unique(np.linspace(0, n - 1,
-                                     min(cfg.reloc_candidates, n)).astype(int))
-        for oi in cand[::-1]:            # recent first
+        cand = self._candidate_keyframes(kp, cfg.reloc_candidates)
+        for oi in cand:                  # best-candidate first
             ref = self.keyframes[oi]
             pose, inl, rmse, m, sel, lm_of, n_inl, tri = \
                 self._match_and_localize(kp, ref, ref.pose)
@@ -1119,6 +1161,7 @@ class SfmPipeline:
             self.lm_ref_kf = np.concatenate(
                 [self.lm_ref_kf, np.full(created, new_idx, np.int64)])
         self._map_version += 1         # invalidate the local-map cache
+        self._index_keyframe(new_idx, new_kf)
         self._add_odometry_edge(new_idx - 1, new_idx)
         if self.cfg.enable_loop_closure:
             self._try_loop_closure(new_idx)
@@ -1146,13 +1189,17 @@ class SfmPipeline:
 
     def _try_loop_closure(self, new_idx: int):
         """Probe a few old keyframes for a 2D-3D re-localization; accepted
-        closures add a high-weight pose-graph edge and trigger optimization."""
+        closures add a high-weight pose-graph edge and trigger optimization.
+        Candidates are vote-ranked by the global descriptor index
+        (restricted to keyframes outside the covisible window), with
+        uniform probing as the fallback."""
         cfg = self.cfg
         old_max = new_idx - cfg.window_size
         if old_max < 1:
             return
-        cand_idx = np.unique(np.linspace(0, old_max - 1,
-                                         cfg.loop_candidates).astype(int))
+        cand_idx = self._candidate_keyframes(
+            self.keyframes[new_idx].kp, cfg.loop_candidates,
+            exclude_from=old_max)
         new_kf = self.keyframes[new_idx]
         new_lms = new_kf.kp_lm[new_kf.kp_lm >= 0]
         for oi in cand_idx:
