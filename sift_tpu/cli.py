@@ -312,6 +312,7 @@ def cmd_sfm(args) -> int:
                                       depth=f.depth if use_depth else None,
                                       right=f.gray_right if use_stereo else None)
                    for f in seq]
+        pipe.finalize()          # apply any deferred (ba_async) window BA
     if args.verbose:
         for r in results:
             print(f"frame {r['frame_idx']}: tracked={r['tracked']} "

@@ -79,7 +79,9 @@ class Heartbeat:
     def stale_peers(self, num_processes: int,
                     timeout_s: float = 2.0) -> List[int]:
         """Process ids (excluding self) whose last beat is older than
-        `timeout_s` (or missing entirely after a grace period)."""
+        `timeout_s`. A peer that has NEVER beaten counts as stale
+        immediately — call `wait_for_peers` once at job start so slow
+        starters are not mistaken for dead ones."""
         now = time.time()
         stale = []
         for pid in range(num_processes):

@@ -30,6 +30,19 @@ import jax.numpy as jnp
 from jax import lax
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _bank_update(bank, bank_valid, k, desc, valid):
+    """Install one keyframe's (normalized) descriptors: ONE jitted,
+    buffer-donating dispatch — eager .at[].set would copy the whole
+    (C, Nk, D) bank and pay per-op round trips on remote backends."""
+    n = jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
+    row = (desc / n).astype(bank.dtype)
+    bank = jax.lax.dynamic_update_index_in_dim(bank, row, k, 0)
+    bank_valid = jax.lax.dynamic_update_index_in_dim(
+        bank_valid, valid, k, 0)
+    return bank, bank_valid
+
+
 @functools.partial(jax.jit, static_argnames=("sim_threshold",))
 def _query_votes(bank: jnp.ndarray, bank_valid: jnp.ndarray,
                  desc_q: jnp.ndarray, valid_q: jnp.ndarray,
@@ -66,12 +79,9 @@ class GlobalDescriptorIndex:
         Descriptors are L2-normalized into the bank (cosine scoring)."""
         if kf_index >= self.capacity_kf:
             return                       # over capacity: index degrades
-        d = jnp.asarray(desc)
-        n = jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
-        self._bank = self._bank.at[kf_index].set(
-            (d / n).astype(jnp.bfloat16))
-        self._bank_valid = self._bank_valid.at[kf_index].set(
-            jnp.asarray(valid))
+        self._bank, self._bank_valid = _bank_update(
+            self._bank, self._bank_valid, jnp.asarray(kf_index, jnp.int32),
+            jnp.asarray(desc), jnp.asarray(valid))
         self._used[kf_index] = True
 
     def query(self, desc_q, valid_q,

@@ -642,8 +642,11 @@ class SfmPipeline:
         since = self._frames_since_kf
         for bi in range(n_frames):
             since += 1
-            if n_inls[bi] < cfg.kf_min_tracked or since >= cfg.kf_max_interval:
-                promote_at = bi     # last qualifying frame wins
+            if promote_at < 0 and (n_inls[bi] < cfg.kf_min_tracked
+                                   or since >= cfg.kf_max_interval):
+                promote_at = bi     # FIRST qualifying frame (matching the
+                # per-frame policy; later frames restart the interval count
+                # from the promotion in the record loop below)
 
         for bi in range(n_frames):
             self._frame_idx += 1
@@ -728,6 +731,9 @@ class SfmPipeline:
             self.keyframes.append(kf)
         self._map_version += 1
         self._local_map_cache = None
+        # A deferred BA result from the PRE-load map must never be applied
+        # to the loaded one (its landmark indices belong to the old map).
+        self._pending_ba = None
         self._global_index = None
         for i, kf in enumerate(self.keyframes):
             self._index_keyframe(i, kf)
@@ -1404,9 +1410,12 @@ class SfmPipeline:
             s_new, R_new, t_new, *sim3m.sim3_inverse(s_old, R_old, t_old))
         sd, Rd, td = np.asarray(sd), np.asarray(Rd), np.asarray(td)
 
+        # Batch the device->host conversion (per-element reads would cost a
+        # round trip each on tunneled backends), then pure host math.
+        R_new_h = np.asarray(R_new)
+        t_new_h = np.asarray(t_new)
         for k in range(n):
-            self.keyframes[k].pose = _se3_log_np(
-                np.asarray(R_new[k]), np.asarray(t_new[k]))
+            self.keyframes[k].pose = _se3_log_np(R_new_h[k], t_new_h[k])
         ref = self.lm_ref_kf
         self.landmarks = (sd[ref, None] *
                           np.einsum("lij,lj->li", Rd[ref], self.landmarks)

@@ -14,12 +14,9 @@ from sift_tpu.frontend.sift import extract
 from sift_tpu.oracle.refsim import refsim_extract
 
 
-def smooth_image(h, w, seed=0, scale=255.0):
-    rng = np.random.RandomState(seed)
-    img = ndi.gaussian_filter(rng.rand(h, w), 2.0)
-    img -= img.min()
-    img /= img.max()
-    return (img * scale).astype(np.float32)
+# Single source of truth shared with the golden generator and the
+# refbuild tests (sift_tpu/oracle/refbuild.py).
+from sift_tpu.oracle.refbuild import smooth_image  # noqa: E402,F401
 
 
 CFG = SiftConfig(mode="parity", max_keypoints_per_octave=256, max_keypoints=1024)

@@ -27,64 +27,18 @@ from __future__ import annotations
 import argparse
 import math
 import os
-import struct
-import subprocess
 import sys
-import tempfile
 
 import numpy as np
-import scipy.ndimage as ndi
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-REFBUILD = os.path.join(REPO, "tools", "refbuild")
 PARITY_DIR = os.path.join(REPO, "tests", "parity")
-PARROT = "/root/reference/example/parrot.jpg"
 
 sys.path.insert(0, REPO)
-from sift_tpu.oracle.refsim import refsim_extract  # noqa: E402
-
-
-def smooth_image(h, w, seed=0, scale=255.0):
-    """Identical to tests/parity/test_parity_pipeline.py::smooth_image."""
-    rng = np.random.RandomState(seed)
-    img = ndi.gaussian_filter(rng.rand(h, w), 2.0)
-    img -= img.min()
-    img /= img.max()
-    return (img * scale).astype(np.float32)
-
-
-def parrot_gray() -> np.ndarray:
-    """Vigra-importImage-equivalent luma: 0.299 R + 0.587 G + 0.114 B, f32."""
-    from PIL import Image
-    a = np.asarray(Image.open(PARROT).convert("RGB")).astype(np.float32)
-    return (0.299 * a[..., 0] + 0.587 * a[..., 1]
-            + 0.114 * a[..., 2]).astype(np.float32)
-
-
-def build_ref_binary() -> str:
-    exe = os.path.join(REFBUILD, "ref_sift")
-    subprocess.run(["make", "-s"], cwd=REFBUILD, check=True)
-    return exe
-
-
-def run_ref_binary(exe: str, img: np.ndarray, subpixel: bool):
-    """Run the rebuilt reference; returns list of keypoint tuples."""
-    h, w = img.shape
-    with tempfile.TemporaryDirectory() as td:
-        raw = os.path.join(td, "frame.raw")
-        out = os.path.join(td, "out.txt")
-        with open(raw, "wb") as f:
-            f.write(struct.pack("<ii", w, h))
-            f.write(img.astype(np.float32).tobytes())
-        subprocess.run([exe, raw, out, "1.6", repr(math.sqrt(2.0)), "4", "3",
-                        "1" if subpixel else "0"], check=True)
-        rows = []
-        for ln in open(out).read().strip().splitlines():
-            p = ln.split()
-            rows.append((int(p[0]), int(p[1]), int(p[2]), int(p[3]),
-                         float(p[4]), float(p[5]),
-                         np.array([float(x) for x in p[6:]], np.float32)))
-        return rows
+from sift_tpu.oracle.refsim import refsim_extract          # noqa: E402
+from sift_tpu.oracle.refbuild import (                      # noqa: E402
+    smooth_image, parrot_gray, build_ref_binary, run_ref_binary,
+)
 
 
 def refsim_rows(img: np.ndarray, subpixel: bool):
