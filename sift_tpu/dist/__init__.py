@@ -11,7 +11,8 @@ from sift_tpu.dist.mesh import make_mesh, pad_to_multiple
 from sift_tpu.dist.ba_dist import run_ba_sharded
 from sift_tpu.dist.frontend_dist import extract_batch_sharded
 from sift_tpu.dist.matching_dist import match_pairs_sharded
-from sift_tpu.dist.pose_graph_dist import optimize_pose_graph_sharded
+from sift_tpu.dist.pose_graph_dist import (optimize_pose_graph_sharded,
+                                            optimize_pose_graph_sim3_sharded)
 
 __all__ = [
     "make_mesh",
@@ -20,4 +21,5 @@ __all__ = [
     "extract_batch_sharded",
     "match_pairs_sharded",
     "optimize_pose_graph_sharded",
+    "optimize_pose_graph_sim3_sharded",
 ]
