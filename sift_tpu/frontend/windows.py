@@ -20,13 +20,14 @@ out-of-bounds) windows need no masking; support truncation only affects the
 largest-scale keypoints (weight < e^-2 beyond the window corner).
 
 The window FETCH has a Pallas fast path (`kernels/pallas/windows.py`,
-selected by `SiftConfig.pallas`): measured 1.8x faster than the vmapped
-`dynamic_slice` on v5e (0.57 ms vs 1.01 ms, 512 kp at 600x488) by
-replacing K tiny slice programs with one kernel — double-buffered row-band
-DMAs plus MXU one-hot shift-matmuls for the sub-tile row/column selection,
-bit-exact vs this path. (The r1 negative result stands for the *naive*
-formulation: lane-slicing 48-wide windows forces 256-wide masked bands;
-the shift-matmul trick is what makes the kernel win.) The histogram /
+selected by `SiftConfig.pallas`): measured 5.9x faster than the vmapped
+`dynamic_slice` on v5e (0.147 ms vs 0.869 ms, 512 kp at 600x488) by
+replacing K tiny slice programs with one kernel — double-buffered
+tile-exact band DMAs, a VPU lane roll for column alignment, and an MXU
+one-hot matmul for the sub-tile row selection, bit-exact vs this path.
+(The r1 negative result stands for the *naive* formulation: lane-slicing
+48-wide windows forces 256-wide masked bands; tile-aligned DMAs plus
+roll/shift-selection are what make the kernel win.) The histogram /
 descriptor math stays in XLA either way — it is dense VPU/MXU work that
 fuses well.
 """

@@ -1,39 +1,48 @@
-"""Pallas TPU kernel: fused per-keypoint gradient-window gather.
+"""Pallas TPU kernel: fused per-keypoint window gather from stacked maps.
 
-The lowe frontend needs one contiguous (2, d, d) window of the gradient
-maps per keypoint (windows.py). The XLA formulation is a vmapped
+The lowe frontend needs one contiguous (C, d, d) window per keypoint from a
+channel-stacked map pyramid — gradient maps for orientation/descriptors
+(C=2), DoG levels for refinement (C=L). The XLA formulation is a vmapped
 `lax.dynamic_slice` — K independent tiny slice programs whose per-slice
-dispatch overhead (~2-5 us on v5e) dominates the stage (~18 ms of a
-~38 ms batch at the r1 caps, BENCH.md).
+dispatch overhead (~2-5 us on v5e) dominates the stage (~18 ms of a ~38 ms
+batch at the r1 caps, BENCH.md).
 
 Why the naive Pallas version lost (r1 negative result): Mosaic requires
 VMEM/HBM slices to respect the (8, 128) f32 tiling — cutting a d=48-wide
 window out of a row by lane slicing forces 256-wide masked bands (~5x VPU
 work), and even the row DMA cannot start at an arbitrary y (the sublane
-dimension is tiled by 8). This kernel dodges both walls:
+dimension is tiled by 8). The r2 kernel dodged both walls with full-width
+row-band DMAs plus MXU one-hot shift-matmuls for row AND column selection;
+profiling showed that version FLOP-bound: the (d, W) x (W, 128) f32
+column-selection matmul at HIGHEST precision was ~0.7 us/window of MXU
+work, and the full-width band DMA moved 2.5x more bytes than needed.
 
-  * rows: the maps are passed reshaped to (2, L, H/8, 8, W) so the
-    keypoint's 8-row-aligned band index lives on an UNTILED dimension —
-    a double-buffered async DMA copies a (2, 7, 8, W) band (56 rows
-    covering any 48-row window) with a data-dependent offset Mosaic
-    accepts; the <=7-row misalignment is resolved by an MXU one-hot
-    row-selection matmul (Rsel[i, j] = (j == y_off + i));
-  * columns: the unaligned d-wide selection is a second MXU matmul with
-    the shift matrix Csel[w, j] = (w == x0 + j) — the MXU does not care
-    that 48 is not a multiple of 128.
+This version removes both costs:
 
-One-hot f32 matmuls at HIGHEST precision reproduce the gathered values
-bit-exactly (each output element is exactly one product x * 1.0).
-Per keypoint this is ~11 MFLOP of shift-matmuls and a 56-row DMA — both
-well under a microsecond on v5e — with the next keypoint's DMA overlapped
-behind the current matmuls (2-slot double buffer). Output is
-(K, 2, d, 128) lane-padded; the caller slices [..., :d], one cheap XLA
-copy.
+  * the maps are re-laid out as (C, L, Wq, Hq, 8, 128) — BOTH the
+    column-tile index (Wq) and the row-tile index (Hq) are untiled
+    dimensions, so a double-buffered async DMA copies exactly the
+    (C, 2, B8, 8, 128) band covering the window (2 column tiles span any
+    d <= 128 window; B8 = d/8+1 row tiles cover any row misalignment)
+    with data-dependent offsets Mosaic accepts;
+  * columns: the two tiles concatenate to (B, 256) lanes and a dynamic
+    LANE ROLL (`pltpu.roll`, VPU) aligns x0 to lane 0 — no column matmul
+    at all; the [:, :128] keep-slice is tile-aligned;
+  * rows: the <=7-row misalignment is one small one-hot matmul
+    Rsel[i, j] = (j == y_off + i), (d, B) x (B, 128) at HIGHEST
+    precision — each output element is exactly one product x * 1.0, so
+    gathered values are bit-exact.
 
-Used by `frontend/windows.py::gather_gradient_windows` when
-`SiftConfig.pallas` resolves to on (TPU backends); equivalence with the
-XLA path is asserted in tests/unit/test_pallas_windows.py (interpreter
-mode on CPU, real kernel on TPU).
+Per keypoint this is ~0.1 us of MXU work plus a ~100 KB DMA, with the next
+keypoint's DMA overlapped behind the current selection (2-slot double
+buffer, GROUP keypoints per grid step). Output is (K, C, d, 128)
+lane-padded; the caller slices [..., :d], one cheap XLA copy.
+
+Used by `frontend/windows.py::gather_gradient_windows` (C=2 gradient maps)
+and `frontend/refine.py::_gather_local_patches` (DoG levels as channels);
+equivalence with the XLA path is asserted in
+tests/unit/test_pallas_windows.py (interpreter mode on CPU, real kernel on
+TPU).
 """
 
 from __future__ import annotations
@@ -49,26 +58,29 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 SUBL = 8          # f32 sublane tiling
 GROUP = 8         # keypoints gathered per grid step (amortizes the fixed
-                  # per-step cost ~8x; G row-band DMAs per step overlap the
-                  # previous group's shift-matmuls via 2-slot buffering)
+                  # per-step cost; G band DMAs per step overlap the
+                  # previous group's selection math via 2-slot buffering)
+WB = 2            # column tiles per band: spans any d <= 128 window
 
 
-def _window_kernel(d: int, gl_ref, y0_ref, x0_ref, maps_ref, out_ref,
-                   scratch, sems):
-    """Grid step k: gather GROUP keypoints' (2, d, d) windows.
+def _window_kernel(d: int, use_roll: bool, gl_ref, y0_ref, x0_ref, maps_ref,
+                   out_ref, scratch, sems):
+    """Grid step k: gather GROUP keypoints' (C, d, d) windows.
 
-    maps_ref: (2, L, Hq, 8, W) in HBM; scratch: (2 slots, GROUP, 2, B8, 8,
-    W) VMEM; out_ref: (GROUP, 2, d, LANES) VMEM block for this group.
+    maps_ref: (C, L, Wq, Hq, 8, LANES) in HBM; scratch: (2 slots, GROUP, C,
+    WB, B8, 8, LANES) VMEM; out_ref: (GROUP, C, d, LANES) VMEM block.
     """
     k = pl.program_id(0)
     n = pl.num_programs(0)
-    B8 = scratch.shape[3]                      # band height in 8-row tiles
-    W = scratch.shape[-1]
+    C = scratch.shape[2]
+    B8 = scratch.shape[4]                      # band height in 8-row tiles
     B = B8 * SUBL
 
     def dma(slot, g, kk):
         return pltpu.make_async_copy(
-            maps_ref.at[:, gl_ref[kk], pl.ds(y0_ref[kk] // SUBL, B8), :, :],
+            maps_ref.at[:, gl_ref[kk],
+                        pl.ds(x0_ref[kk] // LANES, WB),
+                        pl.ds(y0_ref[kk] // SUBL, B8), :, :],
             scratch.at[slot, g],
             sems.at[slot, g],
         )
@@ -79,7 +91,7 @@ def _window_kernel(d: int, gl_ref, y0_ref, x0_ref, maps_ref, out_ref,
         for g in range(GROUP):
             dma(0, g, g).start()
 
-    # Overlap: kick off the next group's row DMAs before blocking.
+    # Overlap: kick off the next group's band DMAs before blocking.
     @pl.when(k + 1 < n)
     def _():
         for g in range(GROUP):
@@ -91,60 +103,75 @@ def _window_kernel(d: int, gl_ref, y0_ref, x0_ref, maps_ref, out_ref,
     base = k * GROUP
     i_iota = lax.broadcasted_iota(jnp.int32, (d, B), 0)
     j_iota = lax.broadcasted_iota(jnp.int32, (d, B), 1)
-    w_iota = lax.broadcasted_iota(jnp.int32, (W, LANES), 0)
-    c_iota = lax.broadcasted_iota(jnp.int32, (W, LANES), 1)
-    # Static per-keypoint loop of plain 2-D matmuls (Mosaic has no
-    # multi-batch dot_general); the win over the 1-kp/step version is the
-    # amortized fixed per-grid-step cost and G DMAs in flight at once.
+    # Static per-keypoint loop (Mosaic has no multi-batch dot_general); the
+    # fixed per-grid-step cost is amortized over GROUP keypoints.
     for g in range(GROUP):
         y0g = y0_ref[base + g]
+        x0g = x0_ref[base + g]
         y_off = y0g - (y0g // SUBL) * SUBL                   # [0, 8)
+        x_off = x0g - (x0g // LANES) * LANES                 # [0, 128)
         rsel = (j_iota == y_off + i_iota).astype(jnp.float32)
-        csel = (w_iota == x0_ref[base + g] + c_iota).astype(jnp.float32)
-        band = scratch[k % 2, g].reshape(2, B, W)
-        for m in range(2):
-            rows = jnp.dot(rsel, band[m],
-                           preferred_element_type=jnp.float32,
-                           precision=lax.Precision.HIGHEST)  # (d, W)
-            out_ref[g, m] = jnp.dot(rows, csel,
+        for m in range(C):
+            band = scratch[k % 2, g, m]                      # (WB, B8, 8, LANES)
+            wide = jnp.concatenate([band[t].reshape(B, LANES)
+                                    for t in range(WB)], axis=-1)
+            if use_roll:
+                # lane roll left by x_off: aligned[:, j] = wide[:, j + x_off]
+                aligned = pltpu.roll(wide, WB * LANES - x_off, axis=1)
+            else:  # interpreter fallback: one-hot column matmul (bit-exact)
+                w_iota = lax.broadcasted_iota(jnp.int32, (WB * LANES,
+                                                          WB * LANES), 0)
+                c_iota = lax.broadcasted_iota(jnp.int32, (WB * LANES,
+                                                          WB * LANES), 1)
+                csel = (w_iota == x_off + c_iota).astype(jnp.float32)
+                aligned = jnp.dot(wide, csel,
+                                  preferred_element_type=jnp.float32,
+                                  precision=lax.Precision.HIGHEST)
+            out_ref[g, m] = jnp.dot(rsel, aligned[:, :LANES],
                                     preferred_element_type=jnp.float32,
                                     precision=lax.Precision.HIGHEST)
 
 
-def _kernel_entry(d, gl_ref, y0_ref, x0_ref, maps_ref, out_ref,
+def _kernel_entry(d, use_roll, gl_ref, y0_ref, x0_ref, maps_ref, out_ref,
                   scratch, sems):
-    # out_ref block is (1, GROUP, 2, d, LANES); drop the leading group axis.
-    _window_kernel(d, gl_ref, y0_ref, x0_ref, maps_ref, out_ref.at[0],
-                   scratch, sems)
+    # out_ref block is (1, GROUP, C, d, LANES); drop the leading group axis.
+    _window_kernel(d, use_roll, gl_ref, y0_ref, x0_ref, maps_ref,
+                   out_ref.at[0], scratch, sems)
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5))
 def gather_windows_pallas(maps: jnp.ndarray, gl: jnp.ndarray,
                           y0: jnp.ndarray, x0: jnp.ndarray,
                           radius: int, interpret: bool = False):
-    """(2, L, H, W) gradient maps + (K,) level / top-left coords ->
-    (K, 2, d, d) windows, d = 2*radius (must be a multiple of 8).
+    """(C, L, H, W) channel-stacked maps + (K,) level / top-left coords ->
+    (K, C, d, d) windows, d = 2*radius (multiple of 8, at most 128). All C
+    channels of level gl[k] are gathered at the same offset (the frontend
+    passes C=2 gradient maps; refine passes the DoG levels as C channels
+    with L=1).
 
     y0/x0 are the window's top-left corner (already clamped to
-    [0, H-d] x [0, W-d] by the caller). `interpret=True` runs the Pallas
-    interpreter (CPU tests).
+    [0, max(H-d, 0)] x [0, max(W-d, 0)] by the caller; windows larger than
+    the image read zero padding, which the caller must never select).
+    `interpret=True` runs the Pallas interpreter (CPU tests).
     """
     d = 2 * radius
     assert d % SUBL == 0, f"window size {d} must be a multiple of {SUBL}"
+    assert d <= LANES, f"window size {d} must be <= {LANES}"
     K = gl.shape[0]
-    _, L, H, W = maps.shape
+    C, L, H, W = maps.shape
     B8 = d // SUBL + 1                       # band covers any misalignment
 
-    # Pad H to a tile multiple plus one spare tile so the band DMA starting
-    # at tile y0//8 never runs off the end, and W to the 128-lane tiling
-    # (DMA slice extents must be lane-aligned); then expose the row-tile
-    # dimension: (2, L, Hq, 8, Wp) — the band offset indexes the UNTILED
-    # dim 2. Padded columns are never selected (x0 + j < W for j < d).
-    Hq = -(-H // SUBL) + 1
-    Wp = -(-W // LANES) * LANES
-    maps5 = jnp.pad(maps, ((0, 0), (0, 0), (0, Hq * SUBL - H),
-                           (0, Wp - W)))
-    maps5 = maps5.reshape(2, L, Hq, SUBL, Wp)
+    # Re-lay the maps out so BOTH band offsets land on untiled dimensions:
+    # pad H to at least B8 row tiles plus one spare (the band DMA starting
+    # at tile y0//8 never runs off the end), pad W to at least WB column
+    # tiles plus one spare, then expose the tile indices:
+    # (C, L, Wq, Hq, 8, 128). Padded rows/columns are never selected by the
+    # caller's clamped coordinates.
+    Hq = max(-(-H // SUBL) + 1, B8)
+    Wq = max(-(-W // LANES) + 1, WB)
+    mp = jnp.pad(maps, ((0, 0), (0, 0), (0, Hq * SUBL - H),
+                        (0, Wq * LANES - W)))
+    maps6 = mp.reshape(C, L, Hq, SUBL, Wq, LANES).transpose(0, 1, 4, 2, 3, 5)
 
     # Pad the keypoint list to a GROUP multiple (coords (0,0,0) are always
     # in-bounds; padded outputs are sliced off below).
@@ -158,20 +185,20 @@ def gather_windows_pallas(maps: jnp.ndarray, gl: jnp.ndarray,
         num_scalar_prefetch=3,
         grid=(Kp // GROUP,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec((1, GROUP, 2, d, LANES),
+        out_specs=pl.BlockSpec((1, GROUP, C, d, LANES),
                                lambda k, *_: (k, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, GROUP, 2, B8, SUBL, Wp), jnp.float32),
+            pltpu.VMEM((2, GROUP, C, WB, B8, SUBL, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2, GROUP)),
         ],
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel_entry, d),
-        out_shape=jax.ShapeDtypeStruct((Kp // GROUP, GROUP, 2, d, LANES),
+        functools.partial(_kernel_entry, d, not interpret),
+        out_shape=jax.ShapeDtypeStruct((Kp // GROUP, GROUP, C, d, LANES),
                                        jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(gl, y0, x0, maps5)
-    return out.reshape(Kp, 2, d, LANES)[:K, :, :, :d]
+    )(gl, y0, x0, maps6)
+    return out.reshape(Kp, C, d, LANES)[:K, :, :, :d]
