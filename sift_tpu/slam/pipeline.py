@@ -151,6 +151,11 @@ class SfmPipeline:
         # Global descriptor index (lazy; built at the first promotion).
         self._global_index = None
 
+        # Chunked-tracking introspection: how many extraction chunks were
+        # handled by the fused single-dispatch path and how many keyframe
+        # promotions rode its packed buffer (vs the per-frame fallback).
+        self.chunk_stats = {"chunks": 0, "fused_promotions": 0}
+
         self._build_jit_stages()
 
     # ------------------------------------------------------------------ jit
@@ -233,18 +238,11 @@ class SfmPipeline:
             n_inl = jnp.sum(inliers.astype(jnp.int32)).astype(jnp.float32)
             return jnp.concatenate([pose, n_inl[None], rmse[None]])
 
-        @jax.jit
-        def _track_chunk(key, pose0, vel0, desc_ref, valid_ref, lms_ref,
-                         kp_batch):
-            """Device-resident tracking of a whole frame chunk
-            (cfg.chunked_tracking): lax.scan over the batch — constant-
-            velocity prediction, guided local-map association, robust pose
-            GN — returning one packed (B, 8) buffer [pose(6), n_inl, rmse]
-            per frame. ONE dispatch + ONE read per chunk.
-
-            An untracked frame keeps the previous pose and zeroes the
-            velocity (the host falls back to the per-frame path for the
-            chunk when it sees a lost frame)."""
+        def _chunk_scan(key, pose0, vel0, desc_ref, valid_ref, lms_ref,
+                        kp_batch):
+            """Shared scan body of the chunk trackers: constant-velocity
+            prediction, guided local-map association, robust pose GN per
+            frame; returns a packed (B, 8) buffer [pose(6), n_inl, rmse]."""
             min_inl = cfg.keyframe_min_inliers // 2
 
             def step(carry, inputs):
@@ -285,6 +283,69 @@ class SfmPipeline:
                 (kp_batch, jnp.arange(B, dtype=jnp.int32)))
             return out                                   # (B, 8)
 
+        @jax.jit
+        def _track_chunk_promo(key, pose0, vel0, since0, nf, desc_ref,
+                               valid_ref, lms_ref, kp_batch, pose_kf,
+                               desc_kf, valid_kf, lms_kf, has_lm_kf, uv_kf):
+            """Chunk tracking with the keyframe-promotion payload fused in.
+
+            Replays the host promotion policy ON DEVICE (first frame b < nf
+            with n_inl < kf_min_tracked or since0+b+1 >= kf_max_interval,
+            provided no frame lost tracking) and, for that frame, runs the
+            full guided keyframe match + localize + candidate triangulation
+            (`_kf_track` body) against the last keyframe's buffers inside
+            the same program. A promotion therefore costs the host ZERO
+            extra dispatches or reads: everything it needs — per-frame
+            poses, the promotion frame index, the match/inlier/triangulation
+            payload, and the promoted frame's keypoint metadata — comes
+            down in the chunk's single packed buffer, and the promoted
+            frame's descriptors stay on device as a second (unread) output.
+
+            Returns (packed, desc_p, valid_p) with packed =
+            [per-frame (B, 8) | promote_at | kf_payload (8M+8) | meta (4N)].
+            """
+            out = _chunk_scan(key, pose0, vel0, desc_ref, valid_ref,
+                              lms_ref, kp_batch)
+            B = out.shape[0]
+            n_inl = out[:, 6].astype(jnp.int32)
+            min_inl = cfg.keyframe_min_inliers // 2
+            real = jnp.arange(B, dtype=jnp.int32) < nf
+            tracked_all = jnp.all(jnp.logical_not(real) |
+                                  (n_inl >= min_inl))
+            since = since0 + 1 + jnp.arange(B, dtype=jnp.int32)
+            qualify = real & ((n_inl < cfg.kf_min_tracked) |
+                              (since >= cfg.kf_max_interval))
+            any_q = jnp.any(qualify) & tracked_all
+            pa = jnp.argmax(qualify)            # first qualifying frame
+            promote_at = jnp.where(any_q, pa, -1)
+
+            kp_p = jax.tree.map(
+                lambda a: lax.dynamic_index_in_dim(a, pa, 0, keepdims=False),
+                kp_batch)
+            f32 = jnp.float32
+            meta = jnp.stack([kp_p.x, kp_p.y,
+                              kp_p.octave.astype(f32),
+                              kp_p.valid.astype(f32)])
+            factor = jnp.exp2(kp_p.octave.astype(f32)) / uv_div
+            uv_b = jnp.stack([kp_p.x * factor, kp_p.y * factor], -1)
+            pose_seed = out[pa, :6]
+            Mcap = cfg.match.max_matches
+
+            def do_promo(_):
+                return _kf_track_body(
+                    True, jax.random.fold_in(key, 0x5EED), pose_seed,
+                    pose_kf, desc_kf, valid_kf, lms_kf, has_lm_kf, uv_kf,
+                    kp_p.desc, kp_p.valid, uv_b)
+
+            def no_promo(_):
+                return jnp.zeros((8 * Mcap + 8,), f32)
+
+            kf_payload = lax.cond(any_q, do_promo, no_promo, None)
+            packed = jnp.concatenate([
+                out.reshape(-1), promote_at.astype(f32)[None],
+                kf_payload, meta.reshape(-1)])
+            return packed, kp_p.desc, kp_p.valid
+
         def _tri_pair(pose_a, pose_b, pa, pb):
             """(M,) pixel pairs -> (M, 4) [X | good] (shared by the
             standalone _triangulate and the fused promotion dispatch)."""
@@ -317,51 +378,58 @@ class SfmPipeline:
             return jnp.concatenate(
                 [X, good.astype(jnp.float32)[:, None]], -1)
 
+        def _kf_track_body(guided, key, init_pose, pose_ref, desc_a,
+                           valid_a, lms_a, has_lm_a, uv_a, desc_b, valid_b,
+                           uv_b):
+            """Fused keyframe match + localize + candidate triangulation
+            (promotions, reloc probes; also inlined into the fused chunk
+            dispatch): one packed buffer — [idx_a(M), idx_b(M),
+            match_valid(M), inliers(M), X|good (4M, triangulated from
+            pose_ref and the ACCEPTED pose for match rows without
+            landmarks), pose(6), n_inl, rmse]."""
+            uv_pred, z = project_cam(init_pose, K, lms_a)
+            has_pred = valid_a & has_lm_a & (z > 1e-6)
+            if guided:
+                m = match_descriptors_guided(
+                    desc_a, valid_a, desc_b, valid_b, uv_pred, has_pred,
+                    uv_b, cfg.guided_radius, cfg.match)
+            else:
+                m = match_descriptors(desc_a, valid_a, desc_b, valid_b,
+                                      cfg.match)
+            pv = m.valid & has_lm_a[m.idx_a]
+            lms = lms_a[m.idx_a]
+            uv = uv_b[m.idx_b]
+            pose, inliers, rmse = pose_ransac_refine(
+                key, init_pose, K, lms, uv, pv,
+                delta=cfg.ransac.inlier_threshold)
+            # New-landmark candidates: 2D-2D matches without landmarks,
+            # triangulated against the accepted pose in the same
+            # program (saves a dispatch + a read per promotion).
+            tri = _tri_pair(pose_ref, pose, uv_a[m.idx_a], uv)
+            no_lm = m.valid & jnp.logical_not(has_lm_a[m.idx_a])
+            tri = tri.at[:, 3].set(
+                tri[:, 3] * no_lm.astype(jnp.float32))
+            f32 = jnp.float32
+            return jnp.concatenate([
+                m.idx_a.astype(f32), m.idx_b.astype(f32),
+                m.valid.astype(f32), inliers.astype(f32),
+                tri.reshape(-1), pose,
+                jnp.sum(inliers.astype(jnp.int32)).astype(f32)[None],
+                rmse[None]])
+
         def _make_kf_track(guided: bool):
             @jax.jit
             def _kf_track(key, init_pose, pose_ref, desc_a, valid_a, lms_a,
                           has_lm_a, uv_a, desc_b, valid_b, uv_b):
-                """Fused keyframe match + localize + candidate
-                triangulation (promotions, reloc probes): ONE dispatch,
-                ONE packed read — [idx_a(M), idx_b(M), match_valid(M),
-                inliers(M), X|good (4M, triangulated from pose_ref and the
-                ACCEPTED pose for match rows without landmarks), pose(6),
-                n_inl, rmse]."""
-                uv_pred, z = project_cam(init_pose, K, lms_a)
-                has_pred = valid_a & has_lm_a & (z > 1e-6)
-                if guided:
-                    m = match_descriptors_guided(
-                        desc_a, valid_a, desc_b, valid_b, uv_pred, has_pred,
-                        uv_b, cfg.guided_radius, cfg.match)
-                else:
-                    m = match_descriptors(desc_a, valid_a, desc_b, valid_b,
-                                          cfg.match)
-                pv = m.valid & has_lm_a[m.idx_a]
-                lms = lms_a[m.idx_a]
-                uv = uv_b[m.idx_b]
-                pose, inliers, rmse = pose_ransac_refine(
-                    key, init_pose, K, lms, uv, pv,
-                    delta=cfg.ransac.inlier_threshold)
-                # New-landmark candidates: 2D-2D matches without landmarks,
-                # triangulated against the accepted pose in the same
-                # program (saves a dispatch + a read per promotion).
-                tri = _tri_pair(pose_ref, pose, uv_a[m.idx_a], uv)
-                no_lm = m.valid & jnp.logical_not(has_lm_a[m.idx_a])
-                tri = tri.at[:, 3].set(
-                    tri[:, 3] * no_lm.astype(jnp.float32))
-                f32 = jnp.float32
-                return jnp.concatenate([
-                    m.idx_a.astype(f32), m.idx_b.astype(f32),
-                    m.valid.astype(f32), inliers.astype(f32),
-                    tri.reshape(-1), pose,
-                    jnp.sum(inliers.astype(jnp.int32)).astype(f32)[None],
-                    rmse[None]])
+                return _kf_track_body(guided, key, init_pose, pose_ref,
+                                      desc_a, valid_a, lms_a, has_lm_a,
+                                      uv_a, desc_b, valid_b, uv_b)
             return _kf_track
 
         self._jit_guided_match = _guided_match
         self._jit_project = _project
         self._jit_track_local = _track_local
-        self._jit_track_chunk = _track_chunk
+        self._jit_track_chunk_promo = _track_chunk_promo
         self._jit_kf_track = {True: _make_kf_track(True),
                               False: _make_kf_track(False)}
 
@@ -604,12 +672,14 @@ class SfmPipeline:
     def _process_chunk_tracked(self, kp_batch: Keypoints, n_frames: int,
                                results: List[Dict]) -> bool:
         """Device-resident tracking of one extraction chunk
-        (PipelineConfig.chunked_tracking): one `_jit_track_chunk` dispatch
-        + one packed read covers every frame; at most one keyframe
-        promotion per chunk, decided afterwards at the last qualifying
-        frame. Returns False (nothing recorded) to fall back to the
-        per-frame path — e.g. no local map yet or a frame lost tracking
-        mid-chunk."""
+        (PipelineConfig.chunked_tracking): one fused dispatch + one packed
+        read covers every frame AND the (at most one) keyframe promotion —
+        the promotion frame is selected on device with the host's exact
+        policy and its guided keyframe match / localization / candidate
+        triangulation ride the same program, so a promotion adds no
+        dispatches or reads beyond the window-BA kickoff. Returns False
+        (nothing recorded) to fall back to the per-frame path — e.g. no
+        local map yet or a frame lost tracking mid-chunk."""
         cfg = self.cfg
         local = self._build_local_map()
         if local is None:
@@ -628,40 +698,54 @@ class SfmPipeline:
         else:
             vel0 = np.zeros(6, np.float32)
 
-        packed = np.asarray(self._jit_track_chunk(
+        # Last-keyframe buffers for the speculative promotion payload
+        # (descriptors are already device-resident; the rest is a few KB).
+        ref_kf = self.keyframes[-1]
+        has = ref_kf.kp_lm >= 0
+        if not (cfg.guided_radius > 0 and has.any()):
+            return False       # fused path needs a guided-matchable ref KF
+        lms_a = self.landmarks[np.clip(ref_kf.kp_lm, 0,
+                                       self.landmarks.shape[0] - 1)]
+        uv_a = np.stack([ref_kf.kp["u"], ref_kf.kp["v"]],
+                        -1).astype(np.float32)
+
+        B = int(kp_batch.x.shape[0])
+        N = int(kp_batch.x.shape[1])
+        M = cfg.match.max_matches
+        packed_dev, desc_p, valid_p = self._jit_track_chunk_promo(
             self._next_key(), jnp.asarray(pose0), jnp.asarray(vel0),
+            jnp.int32(self._frames_since_kf), jnp.int32(n_frames),
             desc_ref, jnp.asarray(valid_ref),
-            jnp.asarray(lms_ref.astype(np.float32)), kp_batch))
-        packed = packed[:n_frames]
-        n_inls = packed[:, 6].astype(np.int32)
+            jnp.asarray(lms_ref.astype(np.float32)), kp_batch,
+            jnp.asarray(ref_kf.pose), ref_kf.kp["desc"],
+            jnp.asarray(ref_kf.kp["valid"]),
+            jnp.asarray(lms_a.astype(np.float32)), jnp.asarray(has),
+            jnp.asarray(uv_a))
+        arr = np.asarray(packed_dev)                 # the chunk's ONE read
+        per_frame = arr[:B * 8].reshape(B, 8)[:n_frames]
+        n_inls = per_frame[:, 6].astype(np.int32)
         min_inl = cfg.keyframe_min_inliers // 2
         if not (n_inls >= min_inl).all():
             return False            # lost frame: per-frame path handles it
-
-        promote_at = -1
-        since = self._frames_since_kf
-        for bi in range(n_frames):
-            since += 1
-            if promote_at < 0 and (n_inls[bi] < cfg.kf_min_tracked
-                                   or since >= cfg.kf_max_interval):
-                promote_at = bi     # FIRST qualifying frame (matching the
-                # per-frame policy; later frames restart the interval count
-                # from the promotion in the record loop below)
+        promote_at = int(arr[B * 8])
+        self.chunk_stats["chunks"] += 1
 
         for bi in range(n_frames):
             self._frame_idx += 1
-            out = dict(pose=packed[bi, :6].astype(np.float32), tracked=True,
-                       is_keyframe=False, n_inliers=int(n_inls[bi]),
-                       rmse=float(packed[bi, 7]), state=self.state,
+            out = dict(pose=per_frame[bi, :6].astype(np.float32),
+                       tracked=True, is_keyframe=False,
+                       n_inliers=int(n_inls[bi]),
+                       rmse=float(per_frame[bi, 7]), state=self.state,
                        frame_idx=self._frame_idx)
             if bi == promote_at:
-                kp_i = jax.tree.map(lambda a: a[bi], kp_batch)
-                kp = _np_kp(kp_i, cfg.sift.subpixel)
-                pose, inliers, rmse, m, sel, lm_of_match, _, tri = \
-                    self._match_and_localize(kp, self.keyframes[-1],
-                                             out["pose"], guided=True)
+                payload = arr[B * 8 + 1:B * 8 + 1 + 8 * M + 8]
+                meta = arr[B * 8 + 1 + 8 * M + 8:].reshape(4, N)
+                kp = self._kp_from_meta(meta, desc_p)
+                pose, inliers, sel, m, lm_of_match, tri = \
+                    self._decode_kf_payload(payload, ref_kf)
                 self._promote_keyframe(kp, pose, m, inliers, sel,
                                        lm_of_match, tri=tri)
+                self.chunk_stats["fused_promotions"] += 1
                 self._frames_since_kf = 0
                 out["pose"] = self.keyframes[-1].pose
                 out["is_keyframe"] = True
@@ -674,6 +758,40 @@ class SfmPipeline:
                                             if not isinstance(v, np.ndarray)})
         self._frames_lost = 0
         return True
+
+    def _kp_from_meta(self, meta: np.ndarray, desc_dev) -> Dict:
+        """Host keypoint dict from the packed (4, N) [x, y, octave, valid]
+        metadata block (same mapping as `_np_kp`; descriptors stay on
+        device)."""
+        octave = meta[2].astype(np.int32)
+        d = dict(x=meta[0], y=meta[1], valid=meta[3] > 0.5, octave=octave,
+                 desc=desc_dev)
+        factor = np.exp2(octave.astype(np.float64))
+        if self.cfg.sift.subpixel:
+            factor = factor / 2.0
+        d["u"] = (d["x"] * factor).astype(np.float64)
+        d["v"] = (d["y"] * factor).astype(np.float64)
+        return d
+
+    def _decode_kf_payload(self, packed: np.ndarray, ref_kf: Keyframe):
+        """Decode a `_kf_track_body` buffer (host side of
+        `_match_and_localize`, shared with the fused chunk dispatch)."""
+        M = self.cfg.match.max_matches
+        ia = packed[0:M].astype(np.int32)
+        ib = packed[M:2 * M].astype(np.int32)
+        valid = packed[2 * M:3 * M] > 0.5
+        inl_slot = packed[3 * M:4 * M] > 0.5
+        tri = packed[4 * M:8 * M].reshape(M, 4)
+        pose = packed[8 * M:8 * M + 6].astype(np.float32)
+        m = Matches(idx_a=jnp.asarray(ia), idx_b=jnp.asarray(ib),
+                    distance=jnp.zeros((M,), jnp.float32),
+                    valid=jnp.asarray(valid))
+        lm_of_match = ref_kf.kp_lm[ia]
+        has_lm = valid & (lm_of_match >= 0)
+        sel = np.nonzero(has_lm)[0]
+        inliers = np.zeros((M,), bool)
+        inliers[:sel.shape[0]] = inl_slot[sel]
+        return pose, inliers, sel, m, lm_of_match, tri
 
     # ------------------------------------------------------ save / resume
     def save_map(self, path: str) -> None:
@@ -864,25 +982,10 @@ class SfmPipeline:
             jnp.asarray(uv_b)))
 
         M = self.cfg.match.max_matches
-        ia = packed[0:M].astype(np.int32)
-        ib = packed[M:2 * M].astype(np.int32)
-        valid = packed[2 * M:3 * M] > 0.5
-        inl_slot = packed[3 * M:4 * M] > 0.5          # per match slot
-        tri = packed[4 * M:8 * M].reshape(M, 4)       # [X | good] per slot
-        pose = packed[8 * M:8 * M + 6].astype(np.float32)
         n_inl = int(packed[8 * M + 6])
         rmse = float(packed[8 * M + 7])
-
-        m = Matches(idx_a=jnp.asarray(ia), idx_b=jnp.asarray(ib),
-                    distance=jnp.zeros((M,), jnp.float32),
-                    valid=jnp.asarray(valid))
-        lm_of_match = ref_kf.kp_lm[ia]
-        has_lm = valid & (lm_of_match >= 0)
-        sel = np.nonzero(has_lm)[0]
-        # Compacted inlier layout (row i of the old localize call was match
-        # row sel[i]) so promotion bookkeeping stays unchanged.
-        inliers = np.zeros((M,), bool)
-        inliers[:sel.shape[0]] = inl_slot[sel]
+        pose, inliers, sel, m, lm_of_match, tri = \
+            self._decode_kf_payload(packed, ref_kf)
         return pose, inliers, rmse, m, sel, lm_of_match, n_inl, tri
 
     def _index_keyframe(self, idx: int, kf: Keyframe) -> None:

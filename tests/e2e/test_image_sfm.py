@@ -196,15 +196,22 @@ def test_async_deferred_ba_keeps_accuracy(frames):
 
 
 @pytest.mark.slow
-def test_chunked_tracking_matches_per_frame_ate(frames):
-    """Device-resident chunked tracking (one scan dispatch per extraction
-    batch) must hold the same ATE bound as the per-frame path."""
+def test_chunked_tracking_matches_per_frame_ate():
+    """Device-resident chunked tracking (one fused dispatch per extraction
+    batch, keyframe promotion riding the same packed buffer) must hold the
+    same ATE bound as the per-frame path — and must actually take the
+    fused path (with 8 frames bootstrap eats the first chunk and the test
+    would pass without ever exercising it, so this one runs 20)."""
+    n = 20
+    seq = [_render(STEP * i) for i in range(n)]
     cfg = _cfg().replace(chunked_tracking=True, ba_async=True)
     pipe = SfmPipeline(INTR, cfg)
-    pipe.process_sequence(list(frames), batch=4)
+    pipe.process_sequence(seq, batch=4)
     assert pipe.state == "tracking"
+    assert pipe.chunk_stats["chunks"] >= 2, pipe.chunk_stats
+    assert pipe.chunk_stats["fused_promotions"] >= 1, pipe.chunk_stats
     tracked = [r["tracked"] for r in pipe.trajectory]
     assert np.mean(tracked) > 0.7, tracked
-    gt = np.stack([[STEP * i, 0.0, 0.0] for i in range(N_FRAMES)])
+    gt = np.stack([[STEP * i, 0.0, 0.0] for i in range(n)])
     ate = ate_rmse(pipe.positions(), gt, align=True, with_scale=True)
     assert ate < 0.05, ate
