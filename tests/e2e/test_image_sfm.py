@@ -215,3 +215,57 @@ def test_chunked_tracking_matches_per_frame_ate():
     gt = np.stack([[STEP * i, 0.0, 0.0] for i in range(n)])
     ate = ate_rmse(pipe.positions(), gt, align=True, with_scale=True)
     assert ate < 0.05, ate
+
+
+@pytest.mark.slow
+def test_relocalization_from_pixels():
+    """Blackout frames (constant gray -> zero SIFT keypoints) kill
+    tracking; the pipeline must relocalize from REAL pixels against the
+    keyframe history (vote-ranked global descriptor index) and track the
+    revisited region. The synthetic-frontend variant lives in
+    test_sfm_pipeline.py; this proves the whole chain from images."""
+    n_out = 12
+    revisit = list(range(5, 11))
+    seq = ([_render(STEP * i) for i in range(n_out)]
+           + [np.full((H, W), 120.0, np.float32)] * 4
+           + [_render(STEP * i) for i in revisit])
+    pipe = SfmPipeline(INTR, _cfg())
+    results = [pipe.process_frame(f) for f in seq]
+
+    black = range(n_out, n_out + 4)
+    assert not any(results[i]["tracked"] for i in black)
+    post = [r["tracked"] for r in results[n_out + 4:]]
+    assert np.mean(post) > 0.6, post
+
+    # Tracked frames (incl. the revisit) must sit on the ground truth.
+    gt = np.array([[STEP * i, 0.0, 0.0] for i in range(n_out)]
+                  + [[np.nan] * 3] * 4
+                  + [[STEP * i, 0.0, 0.0] for i in revisit])
+    mask = np.array([r["tracked"] for r in results])
+    est = pipe.positions()
+    ate = ate_rmse(est[mask], gt[mask], align=True, with_scale=True)
+    assert ate < 0.06, ate
+
+
+@pytest.mark.slow
+def test_loop_closure_from_pixels():
+    """Out-and-back from pixels with loop closure enabled: place
+    recognition and the closure machinery run on real descriptors,
+    tracking never drops, and the return leg lands back on the outbound
+    trajectory (the covisibility gate may rightly suppress explicit loop
+    edges when tracking alone keeps the map consistent)."""
+    n_out = 12
+    txs = ([STEP * i for i in range(n_out)]
+           + [STEP * (n_out - 2 - i) for i in range(n_out - 1)])
+    seq = [_render(t) for t in txs]
+    cfg = _cfg().replace(enable_loop_closure=True, loop_min_inliers=25,
+                         loop_max_rmse=2.0)
+    pipe = SfmPipeline(INTR, cfg)
+    for f in seq:
+        pipe.process_frame(f)
+    assert pipe.state == "tracking"
+    tracked = [r["tracked"] for r in pipe.trajectory]
+    assert np.mean(tracked) > 0.8, tracked
+    gt = np.stack([[t, 0.0, 0.0] for t in txs])
+    ate = ate_rmse(pipe.positions(), gt, align=True, with_scale=True)
+    assert ate < 0.06, ate
