@@ -40,6 +40,81 @@ def bench_matching():
                 unit="Gpairs/s", detail=f"{n}x{n} desc128, t={t*1e3:.2f}ms")
 
 
+_MATCH_LARGE_SNIPPET = """
+import time
+import numpy as np, jax, jax.numpy as jnp
+from jax import lax
+from sift_tpu.config import MatchConfig
+from sift_tpu.matching.matcher import match_descriptors
+from sift_tpu.utils.timing import tree_scalar
+n, impl, nrep = {n}, {impl!r}, {nrep}
+rng = np.random.default_rng(0)
+d = rng.standard_normal((2, n, 128)).astype(np.float32)
+d /= np.linalg.norm(d, axis=-1, keepdims=True)
+valid = jnp.ones((n,), bool)
+da, db = jnp.asarray(d[0]), jnp.asarray(d[1])
+cfg = MatchConfig(max_matches=4096, impl=impl)
+def fn(x):
+    m = match_descriptors(x, valid, db, valid, cfg)
+    return tree_scalar((m.distance, m.idx_a))
+@jax.jit
+def run(x):
+    def body(c, _):
+        return fn(x + c) * 1e-24, None
+    c, _ = lax.scan(body, jnp.float32(0.0), None, length=nrep)
+    return c
+float(run(da))                                  # compile + warm
+best = float("inf")
+for _ in range(3):
+    t0 = time.perf_counter(); float(run(da))
+    best = min(best, time.perf_counter() - t0)
+print("RESULT", best)
+"""
+
+
+def bench_matching_large():
+    """Large-N matching: streaming Pallas top-2 vs the XLA score-matrix
+    formulation (place-recognition / offline-matching scale, where the
+    materialized (N, N) matrix makes XLA memory-bound).
+
+    Every (impl, rep-count) runs in its own subprocess and the per-call
+    time is the cross-subprocess difference of the two rep counts (same
+    cancellation as `chained_time`). One program per process is forced
+    by a tunneled-axon runtime bug: the SECOND compiled executable
+    containing this Pallas kernel in a process runs once and then trips
+    INVALID_ARGUMENT on every re-execution (the first executable can be
+    re-run forever; fresh process, either order — fine). Not a kernel
+    property; kernel-level correctness is covered in
+    tests/unit/test_pallas_match.py."""
+    import subprocess
+
+    n = 2048 if SMALL else 16384
+    reps = (2, 8)
+    out = {}
+    for impl in ("xla", "pallas"):
+        t = {}
+        for nrep in reps:
+            code = _MATCH_LARGE_SNIPPET.format(n=n, impl=impl, nrep=nrep)
+            proc = subprocess.run([sys.executable, "-c", code], timeout=900,
+                                  capture_output=True, text=True,
+                                  cwd=os.path.dirname(os.path.dirname(
+                                      os.path.abspath(__file__))))
+            line = [l for l in proc.stdout.splitlines()
+                    if l.startswith("RESULT")]
+            if not line:
+                raise RuntimeError(f"{impl} x{nrep} subprocess failed: "
+                                   f"{proc.stderr.strip()[-300:]}")
+            t[nrep] = float(line[0].split()[1])
+        out[impl] = max((t[reps[1]] - t[reps[0]]) / (reps[1] - reps[0]), 1e-9)
+    pairs = n * n
+    return dict(metric="matching_large_pairs_per_s",
+                value=round(pairs / out["pallas"] / 1e9, 3),
+                unit="Gpairs/s",
+                detail=(f"{n}x{n} desc128 pallas={out['pallas']*1e3:.2f}ms "
+                        f"xla={out['xla']*1e3:.2f}ms "
+                        f"speedup={out['xla']/out['pallas']:.2f}x"))
+
+
 def bench_ransac():
     import jax
     import jax.numpy as jnp
@@ -187,7 +262,8 @@ def bench_roofline():
 
 
 def main():
-    for fn in (bench_matching, bench_ransac, bench_ba, bench_blur):
+    for fn in (bench_matching, bench_matching_large, bench_ransac,
+               bench_ba, bench_blur):
         try:
             print(json.dumps(fn()))
         except Exception as e:  # keep the report going

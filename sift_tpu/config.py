@@ -85,6 +85,10 @@ class MatchConfig:
     mutual: bool = True           # require mutual nearest neighbours
     max_matches: int = 1024       # static output size (masked)
     metric: str = "l2"            # "l2" | "dot"
+    # Top-2 backend: "auto" picks the streaming Pallas kernel on TPU for
+    # large sets (the (Na, Nb) score matrix never touches HBM —
+    # kernels/pallas/match.py); "xla" / "pallas" force a side.
+    impl: str = "auto"
 
     def replace(self, **kw) -> "MatchConfig":
         return dataclasses.replace(self, **kw)

@@ -5,7 +5,8 @@ All kernels are pure, batched over arbitrary leading dims where meaningful,
 and traceable under `jax.jit` / `jax.vmap`. Where measurement shows the
 XLA formulation losing, a Pallas kernel lives under
 `sift_tpu.kernels.pallas` (currently: the per-keypoint window gather,
-1.8x vs vmapped dynamic_slice on v5e — see kernels/pallas/windows.py);
+5.9x vs vmapped dynamic_slice on v5e, and the streaming large-N top-2
+matcher — see kernels/pallas/windows.py and match.py);
 stages where XLA already wins (blur as banded MXU matmul, histogram
 contractions) deliberately have no Pallas version — BENCH.md records the
 measured comparisons both ways.

@@ -75,6 +75,44 @@ def _top2_min(d: jnp.ndarray):
     return best, second, best_idx
 
 
+def _compact(ok: jnp.ndarray, best: jnp.ndarray, best_idx: jnp.ndarray,
+             m: int) -> Matches:
+    """Compact accepted rows to fixed capacity m, smallest distance first."""
+    score = jnp.where(ok, -best, -_BIG)
+    k = min(m, score.shape[0])
+    top_scores, idx_a = lax.top_k(score, k)
+    valid = top_scores > -_BIG
+    if k < m:
+        pad = m - k
+        idx_a = jnp.pad(idx_a, (0, pad))
+        top_scores = jnp.pad(top_scores, (0, pad), constant_values=-_BIG)
+        valid = jnp.pad(valid, (0, pad))
+    return Matches(
+        idx_a=idx_a.astype(jnp.int32),
+        idx_b=best_idx[idx_a].astype(jnp.int32),
+        distance=jnp.where(valid, -top_scores, _BIG),
+        valid=valid,
+    )
+
+
+def _use_streaming(cfg: MatchConfig, na: int, nb: int, d: int) -> bool:
+    """Resolve MatchConfig.impl at trace time.
+
+    "auto" picks the streaming Pallas top-2 kernel only where it wins: on
+    TPU, lane-aligned descriptors, and a problem big enough that the XLA
+    path's HBM-materialized (Na, Nb) score matrix dominates (SLAM-loop
+    capacities stay on the fused-XLA path; place-recognition / offline
+    matching at 8k+ descriptors per side moves to the kernel).
+    """
+    if cfg.impl == "xla" or d % 128 != 0:
+        return False
+    if cfg.impl == "pallas":
+        return True
+    assert cfg.impl == "auto", f"unknown match impl {cfg.impl!r}"
+    return (jax.devices()[0].platform == "tpu"
+            and na * nb > 4096 * 4096)
+
+
 def match_descriptors(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
                       desc_b: jnp.ndarray, valid_b: jnp.ndarray,
                       cfg: MatchConfig) -> Matches:
@@ -88,6 +126,10 @@ def match_descriptors(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
     Returns a capacity-`cfg.max_matches` `Matches` sorted by ascending
     distance; invalid slots padded with index 0 / distance +inf.
     """
+    if _use_streaming(cfg, desc_a.shape[0], desc_b.shape[0],
+                      desc_a.shape[-1]):
+        return _match_streaming(desc_a, valid_a, desc_b, valid_b, cfg)
+
     d = _distances(desc_a, desc_b, cfg.metric)
     # Mask invalid rows and columns out of every reduction.
     d = jnp.where(valid_b[None, :], d, _BIG)
@@ -104,23 +146,36 @@ def match_descriptors(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
         best_back = jnp.argmin(d, axis=0)                  # (Nb,)
         ok &= best_back[best_idx] == jnp.arange(d.shape[0])
 
-    # Compact to fixed capacity: smallest distances first.
-    m = cfg.max_matches
-    score = jnp.where(ok, -best, -_BIG)
-    k = min(m, score.shape[0])
-    top_scores, idx_a = lax.top_k(score, k)
-    valid = top_scores > -_BIG
-    if k < m:
-        pad = m - k
-        idx_a = jnp.pad(idx_a, (0, pad))
-        top_scores = jnp.pad(top_scores, (0, pad), constant_values=-_BIG)
-        valid = jnp.pad(valid, (0, pad))
-    return Matches(
-        idx_a=idx_a.astype(jnp.int32),
-        idx_b=best_idx[idx_a].astype(jnp.int32),
-        distance=jnp.where(valid, -top_scores, _BIG),
-        valid=valid,
-    )
+    return _compact(ok, best, best_idx, cfg.max_matches)
+
+
+def _match_streaming(desc_a, valid_a, desc_b, valid_b,
+                     cfg: MatchConfig) -> Matches:
+    """Large-N path: streaming Pallas top-2 (score matrix never hits HBM);
+    ratio / mutual / compaction identical to the XLA path. The mutual
+    check runs the kernel a second time with the sides swapped — at the
+    sizes this path serves, both passes together remain far below the
+    XLA formulation's memory-bound time (kernels/pallas/match.py)."""
+    from sift_tpu.kernels.pallas.match import streaming_top2
+
+    interp = jax.devices()[0].platform != "tpu"
+    if cfg.metric == "dot":
+        desc_a = desc_a / jnp.maximum(
+            jnp.linalg.norm(desc_a, axis=-1, keepdims=True), 1e-12)
+        desc_b = desc_b / jnp.maximum(
+            jnp.linalg.norm(desc_b, axis=-1, keepdims=True), 1e-12)
+    else:
+        assert cfg.metric == "l2", f"unknown match metric {cfg.metric!r}"
+
+    best, second, best_idx = streaming_top2(
+        desc_a, valid_a, desc_b, valid_b, interp)
+    ok = best < (cfg.ratio * cfg.ratio) * second
+    ok &= valid_a & (best < _BIG)
+    if cfg.mutual:
+        _, _, best_back = streaming_top2(
+            desc_b, valid_b, desc_a, valid_a, interp)
+        ok &= best_back[best_idx] == jnp.arange(desc_a.shape[0])
+    return _compact(ok, best, best_idx, cfg.max_matches)
 
 
 @functools.partial(jax.jit, static_argnums=(4,))
@@ -160,22 +215,7 @@ def match_descriptors_guided(desc_a, valid_a, desc_b, valid_b,
         best_back = jnp.argmin(d, axis=0)
         ok &= best_back[best_idx] == jnp.arange(d.shape[0])
 
-    m = cfg.max_matches
-    score = jnp.where(ok, -best, -_BIG)
-    k = min(m, score.shape[0])
-    top_scores, idx_a = lax.top_k(score, k)
-    valid = top_scores > -_BIG
-    if k < m:
-        pad = m - k
-        idx_a = jnp.pad(idx_a, (0, pad))
-        top_scores = jnp.pad(top_scores, (0, pad), constant_values=-_BIG)
-        valid = jnp.pad(valid, (0, pad))
-    return Matches(
-        idx_a=idx_a.astype(jnp.int32),
-        idx_b=best_idx[idx_a].astype(jnp.int32),
-        distance=jnp.where(valid, -top_scores, _BIG),
-        valid=valid,
-    )
+    return _compact(ok, best, best_idx, cfg.max_matches)
 
 
 def match_keypoints(kp_a: Keypoints, kp_b: Keypoints,

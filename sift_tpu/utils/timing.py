@@ -25,6 +25,14 @@ def chained_time(fn: Callable, args, reps_lo: int = 2, reps_hi: int = 12,
     `fn` must return a scalar that depends on its full computation (sum over
     all outputs). The first arg must be a float array; it is perturbed by
     the carry each iteration.
+
+    Axon-backend caveat: this compiles TWO programs of the workload (one
+    per rep count). For some large Pallas workloads the tunneled runtime
+    can only re-execute the FIRST executable of a given kernel per
+    process (the second trips INVALID_ARGUMENT on its second run); such
+    benchmarks must run each rep count in its own subprocess and
+    difference across processes instead (see
+    benchmarks/components.py::bench_matching_large).
     """
     def chained(n):
         @jax.jit
