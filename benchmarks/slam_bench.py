@@ -70,7 +70,11 @@ def render(tx: float) -> np.ndarray:
 
     top = sample(t1, FX * tx / Z_TOP)
     bot = sample(t2, FX * tx / Z_BOT)
-    return np.concatenate([top, bot], axis=0).astype(np.float32)
+    # uint8, like real camera frames: exercises the pipeline's 1-byte
+    # host->device upload path (the f32 upload was the single largest
+    # term of the measured chunk budget over the tunnel).
+    img = np.concatenate([top, bot], axis=0)
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
 
 
 def _pipeline_cfg():

@@ -168,10 +168,17 @@ class SfmPipeline:
         else:
             @jax.jit
             def _extract(gray):
-                return extract(gray, cfg.sift, with_descriptors=True)
+                return extract(gray.astype(jnp.float32), cfg.sift,
+                               with_descriptors=True)
 
         @jax.jit
         def _extract_batch(imgs):
+            # uint8 frames are cast on DEVICE: host->device transfer is the
+            # dominant SLAM-loop cost on remote backends (measured 211-229
+            # ms per 8xVGA f32 chunk over the axon tunnel vs ~38 ms for the
+            # chunk's packed result read), so frames cross the link in
+            # their native 1-byte dtype whenever the caller has one.
+            imgs = imgs.astype(jnp.float32)
             return jax.vmap(
                 lambda im: extract(im, cfg.sift, with_descriptors=True))(imgs)
 
@@ -531,6 +538,15 @@ class SfmPipeline:
         self._key, k = jax.random.split(self._key)
         return k
 
+    def _frame_to_device(self, gray) -> jnp.ndarray:
+        """Upload one frame, in uint8 when possible (4x fewer link bytes;
+        the built-in extractor casts to f32 on device). Injected frontends
+        keep the f32 contract."""
+        gray = np.asarray(gray)
+        if gray.dtype == np.uint8 and self.frontend is None:
+            return jnp.asarray(gray)
+        return jnp.asarray(gray, jnp.float32)
+
     # ----------------------------------------------------------------- api
     def process_frame(self, gray: np.ndarray,
                       depth: Optional[np.ndarray] = None,
@@ -545,11 +561,11 @@ class SfmPipeline:
         MXU stereo matching (`matching/stereo.py`).
         """
         self._frame_idx += 1
-        kp_dev = self._jit_extract(jnp.asarray(gray, jnp.float32))
+        kp_dev = self._jit_extract(self._frame_to_device(gray))
         if right is not None:
             assert self.stereo_baseline is not None, \
                 "pass stereo_baseline= to SfmPipeline for stereo input"
-            kp_r = self._jit_extract(jnp.asarray(right, jnp.float32))
+            kp_r = self._jit_extract(self._frame_to_device(right))
             depth = np.asarray(self._jit_stereo(kp_dev, kp_r))
         if self.state == "bootstrap":
             kp = _np_kp(kp_dev, self.cfg.sift.subpixel)
@@ -635,21 +651,37 @@ class SfmPipeline:
         # would re-trace/compile on every process_sequence invocation.
         _extract_batch = self._jit_extract_batch
 
-        results = []
-        n = len(frames)
-        for start in range(0, n, batch):
-            chunk = [np.asarray(f, np.float32)
-                     for f in frames[start:start + batch]]
+        def upload(start):
+            """Async host->device upload of one padded chunk.
+
+            uint8 frames ship as uint8 (4x fewer tunnel bytes than f32 —
+            the single largest term of the measured chunk budget; the
+            device casts inside the extract program). Other dtypes ship
+            as f32 bit-faithfully.
+            """
+            chunk = [np.asarray(f) for f in frames[start:start + batch]]
+            if not all(f.dtype == np.uint8 for f in chunk):
+                chunk = [f.astype(np.float32, copy=False) for f in chunk]
             pad = batch - len(chunk)
             imgs = np.stack(chunk + [chunk[-1]] * pad)
-            kp_batch = _extract_batch(jnp.asarray(imgs))
+            return jnp.asarray(imgs), len(chunk)
+
+        results = []
+        n = len(frames)
+        nxt = upload(0) if n else None
+        for start in range(0, n, batch):
+            imgs_dev, n_chunk = nxt
+            kp_batch = _extract_batch(imgs_dev)
+            # Prefetch the next chunk's transfer behind this chunk's
+            # device work and blocking result read.
+            nxt = upload(start + batch) if start + batch < n else None
 
             if cfg.chunked_tracking and depths is None and \
                     self.state == "tracking" and cfg.use_local_map:
-                if self._process_chunk_tracked(kp_batch, len(chunk), results):
+                if self._process_chunk_tracked(kp_batch, n_chunk, results):
                     continue        # whole chunk handled in one dispatch
 
-            for bi in range(len(chunk)):
+            for bi in range(n_chunk):
                 kp_i = jax.tree.map(lambda a: a[bi], kp_batch)
                 self._frame_idx += 1
                 depth = depths[start + bi] if depths is not None else None
