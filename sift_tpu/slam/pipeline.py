@@ -815,9 +815,11 @@ class SfmPipeline:
         inl_slot = packed[3 * M:4 * M] > 0.5
         tri = packed[4 * M:8 * M].reshape(M, 4)
         pose = packed[8 * M:8 * M + 6].astype(np.float32)
-        m = Matches(idx_a=jnp.asarray(ia), idx_b=jnp.asarray(ib),
-                    distance=jnp.zeros((M,), jnp.float32),
-                    valid=jnp.asarray(valid))
+        # HOST arrays on purpose: every consumer of this Matches is host
+        # code (promotion bookkeeping); wrapping in jnp here cost three
+        # device reads (~90 ms over the tunnel) to get the values back.
+        m = Matches(idx_a=ia, idx_b=ib,
+                    distance=np.zeros((M,), np.float32), valid=valid)
         lm_of_match = ref_kf.kp_lm[ia]
         has_lm = valid & (lm_of_match >= 0)
         sel = np.nonzero(has_lm)[0]
