@@ -189,7 +189,8 @@ def cmd_match(args) -> int:
     from sift_tpu.config import MatchConfig
 
     cfg = _sift_config(args)
-    mcfg = MatchConfig(ratio=args.ratio)
+    mcfg = MatchConfig(ratio=args.ratio,
+                       impl=getattr(args, "match_impl", "auto"))
     kps = []
     for f in (args.image_a, args.image_b):
         gray = load_image_gray(f)
@@ -363,6 +364,11 @@ def build_parser() -> argparse.ArgumentParser:
     pm.add_argument("image_a")
     pm.add_argument("image_b")
     pm.add_argument("--ratio", type=float, default=0.8)
+    pm.add_argument("--match-impl", choices=("auto", "xla", "pallas"),
+                    default="auto",
+                    help="top-2 backend: auto switches to the streaming "
+                         "Pallas kernel above 4096^2 pairs on TPU "
+                         "(kernels/pallas/match.py)")
     pm.add_argument("--viz", help="write side-by-side match visualization")
     _add_reference_flags(pm)
     pm.set_defaults(func=cmd_match)
