@@ -26,15 +26,19 @@ import numpy as np
 from sift_tpu.io.image import load_image_gray
 
 
-def _load_gray(path: str):
-    """Decode via the native C++ library when built; PIL otherwise."""
+def _load_gray(path: str, allow_uint8: bool = False):
+    """Decode via the native C++ library when built; PIL otherwise.
+
+    `allow_uint8`: pass through for FRAME images (8-bit gray sources
+    like KITTI stay uint8 for the cheap host->device upload path) —
+    never set for depth maps, which need their native 16-bit range."""
     from sift_tpu.io import native
 
-    if native.native_available():
+    if native.native_available() and not allow_uint8:
         arr = native.load_image_gray_native(path)
         if arr is not None:
             return arr
-    return load_image_gray(path)
+    return load_image_gray(path, allow_uint8=allow_uint8)
 
 
 # TUM-RGBD FR1 default pinhole intrinsics (camera docs; rectified).
@@ -48,7 +52,8 @@ TUM_DEPTH_SCALE = 5000.0         # depth png value -> meters divisor
 class Frame:
     index: int
     timestamp: float
-    gray: np.ndarray                      # (H, W) float32 [0, 255]
+    gray: np.ndarray                      # (H, W) [0, 255]; uint8 when the
+                                          # source is 8-bit gray, else f32
     depth: Optional[np.ndarray] = None    # (H, W) float32 meters (TUM)
     gray_right: Optional[np.ndarray] = None  # rectified right (KITTI stereo)
     gt_pose: Optional[np.ndarray] = None  # (4, 4) world-from-camera
@@ -160,7 +165,7 @@ def load_tum_rgbd(seq_dir: str,
     frames = []
     for i in range(0, len(rgb), stride):
         ts, rel = rgb[i]
-        gray = _load_gray(os.path.join(seq_dir, rel))
+        gray = _load_gray(os.path.join(seq_dir, rel), allow_uint8=True)
         d = None
         if i in d_pairs:
             d = _load_gray(os.path.join(seq_dir, depth[d_pairs[i]][1]))
@@ -220,12 +225,12 @@ def load_kitti_odometry(root: str, sequence: str = "00",
 
     frames = []
     for i in range(0, len(files), stride):
-        gray = _load_gray(os.path.join(img_dir, files[i]))
+        gray = _load_gray(os.path.join(img_dir, files[i]), allow_uint8=True)
         gray_r = None
         if stereo:
             rp = os.path.join(right_dir, files[i])
             if os.path.exists(rp):
-                gray_r = _load_gray(rp)
+                gray_r = _load_gray(rp, allow_uint8=True)
         gtp = gt_poses[i] if i < len(gt_poses) else None
         frames.append(Frame(index=len(frames), timestamp=float(i) * 0.1,
                             gray=gray, gray_right=gray_r, gt_pose=gtp))

@@ -19,8 +19,17 @@ import numpy as np
 _LUMA = np.array([0.299, 0.587, 0.114], np.float64)
 
 
-def load_image_gray(path: str, dtype=np.float32) -> np.ndarray:
-    """Decode an image file to a grayscale (H, W) float array in [0, 255]."""
+def load_image_gray(path: str, dtype=np.float32,
+                    allow_uint8: bool = False) -> np.ndarray:
+    """Decode an image file to a grayscale (H, W) float array in [0, 255].
+
+    `allow_uint8`: return 8-bit grayscale sources (PIL mode "L" — e.g.
+    KITTI frames) as uint8 instead of float. Lossless — the pipeline
+    casts to f32 on DEVICE, and shipping 1-byte pixels quarters the
+    host->device transfer that dominates the SLAM loop on remote
+    backends (BENCH.md round-2 upload finding). RGB sources still
+    return float (the luma projection is fractional).
+    """
     from PIL import Image
 
     with Image.open(path) as im:
@@ -28,6 +37,8 @@ def load_image_gray(path: str, dtype=np.float32) -> np.ndarray:
             arr = np.asarray(im, np.float64)
             # 16-bit images (e.g. TUM depth) are returned in native range.
             return arr.astype(dtype)
+        if im.mode == "L" and allow_uint8:
+            return np.asarray(im)                   # (H, W) uint8
         if im.mode not in ("RGB", "L", "F"):
             im = im.convert("RGB")
         arr = np.asarray(im, np.float64)
