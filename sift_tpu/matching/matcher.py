@@ -113,6 +113,31 @@ def _use_streaming(cfg: MatchConfig, na: int, nb: int, d: int) -> bool:
             and na * nb > 4096 * 4096)
 
 
+def top2_masked(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
+                desc_b: jnp.ndarray, valid_b: jnp.ndarray,
+                cfg: MatchConfig):
+    """Masked per-row (best, second, best_idx) under `cfg.metric`/`cfg.impl`.
+
+    The building block shared with the distributed matcher
+    (`dist/matching_dist.py`): rows of `desc_a` are independent, so a
+    mesh shard can call this on its row slice (invalid rows/columns
+    saturate to ~1e30 exactly like `match_descriptors`)."""
+    if _use_streaming(cfg, desc_a.shape[0], desc_b.shape[0],
+                      desc_a.shape[-1]):
+        from sift_tpu.kernels.pallas.match import streaming_top2
+        if cfg.metric == "dot":
+            desc_a = desc_a / jnp.maximum(
+                jnp.linalg.norm(desc_a, axis=-1, keepdims=True), 1e-12)
+            desc_b = desc_b / jnp.maximum(
+                jnp.linalg.norm(desc_b, axis=-1, keepdims=True), 1e-12)
+        interp = jax.devices()[0].platform != "tpu"
+        return streaming_top2(desc_a, valid_a, desc_b, valid_b, interp)
+    d = _distances(desc_a, desc_b, cfg.metric)
+    d = jnp.where(valid_b[None, :], d, _BIG)
+    d = jnp.where(valid_a[:, None], d, _BIG)
+    return _top2_min(d)
+
+
 def match_descriptors(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
                       desc_b: jnp.ndarray, valid_b: jnp.ndarray,
                       cfg: MatchConfig) -> Matches:
