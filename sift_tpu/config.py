@@ -95,6 +95,27 @@ class MatchConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class AnnConfig:
+    """IVF-Flat approximate matching (matching/ann.py).
+
+    The brute-force MXU matcher subsumes an index up to ~10^7 database
+    descriptors (matching/global_index.py); these defaults target the
+    regime past that. Recall is controlled by `nprobe` (== `n_clusters`
+    degenerates to exact). `bucket_capacity` must hold the largest
+    cluster: size it ~4x the mean occupancy N/n_clusters and check
+    `IvfIndex.n_overflow` == 0.
+    """
+
+    n_clusters: int = 256
+    nprobe: int = 8
+    bucket_capacity: int = 512
+    kmeans_iters: int = 10
+
+    def replace(self, **kw) -> "AnnConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
 class RansacConfig:
     """Batched-hypothesis RANSAC (no data-dependent loop: fixed batch+argmax)."""
 

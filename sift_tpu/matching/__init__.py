@@ -6,10 +6,20 @@ from sift_tpu.matching.matcher import (
     match_descriptors_jit,
     match_keypoints,
 )
+from sift_tpu.matching.ann import (
+    IvfIndex,
+    build_ivf,
+    match_descriptors_ann,
+    search_ivf,
+)
 
 __all__ = [
     "pairwise_sqdist",
     "match_descriptors",
     "match_descriptors_jit",
     "match_keypoints",
+    "IvfIndex",
+    "build_ivf",
+    "match_descriptors_ann",
+    "search_ivf",
 ]

@@ -1,0 +1,207 @@
+"""Approximate nearest-neighbour matching: TPU-native IVF-Flat.
+
+SURVEY §2.2's matching row plans "brute-force/ANN + ratio test". The
+brute-force MXU matcher (`matcher.py`, `global_index.py`) genuinely
+subsumes an index up to ~10^7 database descriptors; this module covers
+the regime beyond that — city-scale place recognition / offline
+structure-from-motion where the database no longer fits a single
+all-pairs pass. It is an inverted-file (IVF-Flat) index re-designed for
+the TPU rather than a port of a CPU ANN library:
+
+- **Build** = k-means where BOTH steps are MXU matmuls: assignment is an
+  (N, D) x (D, C) distance matmul + argmin, and the centroid update is a
+  one-hot (C, N) x (N, D) segment-sum matmul — no scatter, no
+  host-side loops, one jitted program (`lax.fori_loop`).
+- **Bucketing** uses a sort-based rank (argsort + searchsorted) instead
+  of data-dependent list growth: every cluster owns a fixed-capacity row
+  of the (C, cap) bucket table with a validity mask; overflow is counted
+  and reported, never silently mis-sized (CLAUDE.md static-shape rule).
+- **Search** probes the `nprobe` nearest centroids per query (top-k over
+  one (Q, C) matmul), gathers those buckets' candidates, and runs the
+  same masked top-2 + Lowe ratio as the exact matcher over the
+  (Q, nprobe*cap) candidate set. Each database point lives in exactly
+  one bucket, so no dedup pass is needed.
+- **Mutual check** is exact-on-candidates: the accepted matches' (M,)
+  database vectors are re-scored against ALL queries — an (M, Q) matmul,
+  tiny next to the search — so `cfg.mutual` keeps its brute-force
+  semantics restricted to the probed candidate universe.
+
+Approximation contract: a query's true nearest neighbour is found iff it
+lives in one of the query's `nprobe` nearest clusters (standard IVF
+recall semantics); `nprobe == n_clusters` degenerates to exact brute
+force, which the tests assert. Compute drops by ~C/nprobe versus brute
+force; memory by N*D -> Q*nprobe*cap*D per search tile.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from flax import struct
+
+from sift_tpu.config import AnnConfig, MatchConfig
+from sift_tpu.matching.matcher import _BIG, _compact, pairwise_sqdist
+from sift_tpu.types import Matches
+
+
+@struct.dataclass
+class IvfIndex:
+    """Inverted-file index over one database descriptor set (a pytree).
+
+    centroids:    (C, D) float32 k-means centroids.
+    bucket_ids:   (C, cap) int32 database row ids per cluster (padded 0).
+    bucket_valid: (C, cap) bool.
+    desc:         (N, D) float32 the database descriptors (referenced by
+                  bucket_ids; kept here so search needs no extra args).
+    n_overflow:   () int32 — database points dropped because their
+                  cluster's fixed-capacity bucket was full. Size
+                  `bucket_capacity` above N/C with headroom to keep this 0.
+    """
+
+    centroids: jnp.ndarray
+    bucket_ids: jnp.ndarray
+    bucket_valid: jnp.ndarray
+    desc: jnp.ndarray
+    n_overflow: jnp.ndarray
+
+
+def _kmeans(desc: jnp.ndarray, valid: jnp.ndarray, c: int,
+            iters: int, key) -> jnp.ndarray:
+    """Masked k-means on the MXU; returns (C, D) centroids.
+
+    Init = a random valid subset (without replacement via masked top-k of
+    uniform keys). Empty clusters keep their previous centroid.
+    """
+    n, d = desc.shape
+    gumbel = jax.random.uniform(key, (n,)) + jnp.where(valid, 0.0, -2.0)
+    _, init_idx = lax.top_k(gumbel, c)
+    cent0 = desc[init_idx]
+
+    big = jnp.where(valid, 0.0, _BIG)[:, None]     # mask rows out of both steps
+
+    def body(_, cent):
+        dist = pairwise_sqdist(desc, cent) + big          # (N, C)
+        assign = jnp.argmin(dist, axis=-1)                # (N,)
+        one_hot = jax.nn.one_hot(assign, c, dtype=jnp.float32)
+        one_hot = one_hot * valid[:, None].astype(jnp.float32)
+        sums = jnp.dot(one_hot.T, desc,
+                       preferred_element_type=jnp.float32)    # (C, D) MXU
+        counts = jnp.sum(one_hot, axis=0)                     # (C,)
+        new = sums / jnp.maximum(counts[:, None], 1.0)
+        return jnp.where(counts[:, None] > 0, new, cent)
+
+    return lax.fori_loop(0, iters, body, cent0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def build_ivf(desc: jnp.ndarray, valid: jnp.ndarray, cfg: AnnConfig,
+              key=None) -> IvfIndex:
+    """Build an IVF-Flat index over a masked (N, D) descriptor buffer.
+
+    One jitted program: k-means, assignment, and the sort-based inversion
+    into fixed-capacity buckets. `key` seeds the k-means init (default
+    PRNGKey(0) — index builds are deterministic by default, matching the
+    repo-wide determinism invariant).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n = desc.shape[0]
+    c, cap = cfg.n_clusters, cfg.bucket_capacity
+    cent = _kmeans(desc, valid, c, cfg.kmeans_iters, key)
+
+    dist = pairwise_sqdist(desc, cent)
+    assign = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+    assign = jnp.where(valid, assign, c)        # invalid rows -> ghost bucket
+
+    # Sort-based inversion: stable sort by cluster; each row's slot within
+    # its cluster = sorted position - cluster start (searchsorted on the
+    # sorted keys). No scatter conflicts: (row, slot) pairs are unique.
+    order = jnp.argsort(assign, stable=True)
+    sorted_assign = assign[order]
+    starts = jnp.searchsorted(sorted_assign, jnp.arange(c + 1))
+    slot = jnp.arange(n) - starts[sorted_assign]
+
+    in_cap = (slot < cap) & (sorted_assign < c)
+    n_overflow = jnp.sum((~in_cap) & (sorted_assign < c))
+    # Out-of-capacity / ghost rows are parked on a scratch row (index c)
+    # that is sliced off, keeping the scatter fully in-bounds.
+    row = jnp.where(in_cap, sorted_assign, c)
+    col = jnp.where(in_cap, slot, 0)
+
+    bucket_ids = jnp.zeros((c + 1, cap), jnp.int32)
+    bucket_valid = jnp.zeros((c + 1, cap), bool)
+    bucket_ids = bucket_ids.at[row, col].set(order.astype(jnp.int32),
+                                             mode="drop")
+    bucket_valid = bucket_valid.at[row, col].set(in_cap, mode="drop")
+
+    return IvfIndex(centroids=cent, bucket_ids=bucket_ids[:c],
+                    bucket_valid=bucket_valid[:c], desc=desc,
+                    n_overflow=n_overflow.astype(jnp.int32))
+
+
+def search_ivf(index: IvfIndex, desc_q: jnp.ndarray, valid_q: jnp.ndarray,
+               cfg: AnnConfig):
+    """Per-query (best, second, best_idx) over the probed candidate set.
+
+    desc_q: (Q, D); valid_q: (Q,). Distances are squared L2 (the exact
+    matcher's "l2" metric). Returns the same contract as
+    `matcher.top2_masked`: invalid queries / empty candidate sets
+    saturate to ~1e30.
+    """
+    nprobe = min(cfg.nprobe, index.centroids.shape[0])
+    cdist = pairwise_sqdist(desc_q, index.centroids)         # (Q, C)
+    _, probe = lax.top_k(-cdist, nprobe)                     # (Q, nprobe)
+
+    ids = index.bucket_ids[probe]                            # (Q, P, cap)
+    ok = index.bucket_valid[probe]
+    q = desc_q.shape[0]
+    ids = ids.reshape(q, -1)                                 # (Q, K)
+    ok = ok.reshape(q, -1)
+
+    cand = index.desc[ids]                                   # (Q, K, D)
+    # Batched distances: |q|^2 + |c|^2 - 2 q.c, the cross term one
+    # (Q, 1, D) x (Q, K, D) batched MXU contraction.
+    q2 = jnp.sum(desc_q * desc_q, axis=-1)[:, None]          # (Q, 1)
+    c2 = jnp.sum(cand * cand, axis=-1)                       # (Q, K)
+    qc = jnp.einsum("qd,qkd->qk", desc_q, cand,
+                    preferred_element_type=jnp.float32)
+    dist = jnp.maximum(q2 + c2 - 2.0 * qc, 0.0)
+    dist = jnp.where(ok, dist, _BIG)
+    dist = jnp.where(valid_q[:, None], dist, _BIG)
+
+    best = jnp.min(dist, axis=-1)
+    pos = jnp.argmin(dist, axis=-1)
+    second = jnp.min(dist + jax.nn.one_hot(pos, dist.shape[-1],
+                                           dtype=dist.dtype) * _BIG, axis=-1)
+    best_idx = jnp.take_along_axis(ids, pos[:, None], axis=-1)[:, 0]
+    return best, second, best_idx
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "ann"))
+def match_descriptors_ann(desc_q: jnp.ndarray, valid_q: jnp.ndarray,
+                          index: IvfIndex, cfg: MatchConfig,
+                          ann: AnnConfig) -> Matches:
+    """ANN counterpart of `match_descriptors`: ratio + (exact-on-candidate)
+    mutual + capacity-M compaction over the IVF-probed candidate set.
+
+    idx_a indexes the query buffer, idx_b the index's database buffer —
+    the same orientation as `match_descriptors(desc_q, ..., desc_db, ...)`.
+    """
+    best, second, best_idx = search_ivf(index, desc_q, valid_q, ann)
+    ok = best < (cfg.ratio * cfg.ratio) * second
+    ok &= valid_q & (best < _BIG)
+
+    if cfg.mutual:
+        # Exact reverse check on the matched database rows only: (Q, Q')
+        # would be the brute-force cost; (Q, D) x (D, Q) over the matched
+        # set is one small matmul. A db row matched by several queries
+        # keeps only its true nearest.
+        matched = index.desc[best_idx]                       # (Q, D)
+        back = pairwise_sqdist(matched, desc_q)              # (Q, Q)
+        back = jnp.where(valid_q[None, :], back, _BIG)
+        ok &= jnp.argmin(back, axis=-1) == jnp.arange(desc_q.shape[0])
+
+    return _compact(ok, best, best_idx, cfg.max_matches)
