@@ -195,8 +195,21 @@ def cmd_match(args) -> int:
     for f in (args.image_a, args.image_b):
         gray = load_image_gray(f)
         kps.append(extract_jit(jnp.asarray(gray), cfg, True))
-    m = match_descriptors_jit(kps[0].desc, kps[0].valid,
-                              kps[1].desc, kps[1].valid, mcfg)
+    if getattr(args, "match_impl", "auto") == "ivf":
+        # Approximate path (matching/ann.py): index image B, probe with A.
+        from sift_tpu.config import AnnConfig
+        from sift_tpu.matching.ann import build_ivf, match_descriptors_ann
+        ann = AnnConfig(n_clusters=min(64, max(4, cfg.max_keypoints // 32)),
+                        bucket_capacity=max(128, cfg.max_keypoints // 4))
+        index = build_ivf(kps[1].desc, kps[1].valid, ann)
+        novf = int(index.n_overflow)
+        if novf:
+            print(f"warning: IVF bucket overflow dropped {novf} descriptors")
+        m = match_descriptors_ann(kps[0].desc, kps[0].valid, index,
+                                  mcfg.replace(impl="auto"), ann)
+    else:
+        m = match_descriptors_jit(kps[0].desc, kps[0].valid,
+                                  kps[1].desc, kps[1].valid, mcfg)
     n = int(np.asarray(m.valid).sum())
     print(f"{n} matches (ratio={mcfg.ratio}, mutual={mcfg.mutual})")
 
@@ -364,14 +377,19 @@ def build_parser() -> argparse.ArgumentParser:
     pm.add_argument("image_a")
     pm.add_argument("image_b")
     pm.add_argument("--ratio", type=float, default=0.8)
-    pm.add_argument("--match-impl", choices=("auto", "xla", "pallas"),
+    pm.add_argument("--match-impl", choices=("auto", "xla", "pallas", "ivf"),
                     default="auto",
                     help="top-2 backend: auto switches to the streaming "
                          "Pallas kernel above 4096^2 pairs on TPU "
-                         "(kernels/pallas/match.py)")
+                         "(kernels/pallas/match.py); ivf = approximate "
+                         "IVF-Flat index (matching/ann.py)")
     pm.add_argument("--viz", help="write side-by-side match visualization")
     _add_reference_flags(pm)
-    pm.set_defaults(func=cmd_match)
+    # Parity-mode descriptors are degenerate BY SPEC (the reference's
+    # all-bin-0 histograms can't discriminate); matching subcommands
+    # therefore default to the correct lowe pipeline. `extract` keeps the
+    # parity default — it mirrors the reference executable.
+    pm.set_defaults(func=cmd_match, mode="lowe")
 
     pt = sub.add_parser("twoview", help="relative pose between two frames")
     pt.add_argument("image_a")
@@ -383,7 +401,7 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--cx", type=float)
     pt.add_argument("--cy", type=float)
     _add_reference_flags(pt)
-    pt.set_defaults(func=cmd_twoview)
+    pt.set_defaults(func=cmd_twoview, mode="lowe")   # see `match` note
 
     ps = sub.add_parser("sfm", help="incremental SfM over a sequence")
     ps.add_argument("path", help="sequence directory (TUM) or dataset root (KITTI)")
