@@ -110,6 +110,7 @@ class AnnConfig:
     nprobe: int = 8
     bucket_capacity: int = 512
     kmeans_iters: int = 10
+    query_tile: int = 256         # search working set = tile x cap x D
 
     def replace(self, **kw) -> "AnnConfig":
         return dataclasses.replace(self, **kw)

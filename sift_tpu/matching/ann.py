@@ -142,6 +142,21 @@ def build_ivf(desc: jnp.ndarray, valid: jnp.ndarray, cfg: AnnConfig,
                     n_overflow=n_overflow.astype(jnp.int32))
 
 
+def _merge_top2(a, b):
+    """Merge two per-row (best, second, idx) triples into one.
+
+    Candidate universes are disjoint (each database point lives in one
+    bucket), so the merged second-best is the true second smallest of
+    the union: min(s_a, s_b, max(b_a, b_b)).
+    """
+    ba, sa, ia = a
+    bb, sb, ib = b
+    best = jnp.minimum(ba, bb)
+    second = jnp.minimum(jnp.minimum(sa, sb), jnp.maximum(ba, bb))
+    idx = jnp.where(ba <= bb, ia, ib)
+    return best, second, idx
+
+
 def search_ivf(index: IvfIndex, desc_q: jnp.ndarray, valid_q: jnp.ndarray,
                cfg: AnnConfig):
     """Per-query (best, second, best_idx) over the probed candidate set.
@@ -150,34 +165,59 @@ def search_ivf(index: IvfIndex, desc_q: jnp.ndarray, valid_q: jnp.ndarray,
     matcher's "l2" metric). Returns the same contract as
     `matcher.top2_masked`: invalid queries / empty candidate sets
     saturate to ~1e30.
+
+    Working-set discipline: never materializes the (Q, nprobe*cap, D)
+    candidate tensor. Queries run in `query_tile`-row tiles (`lax.map`)
+    and probes in a `lax.scan` whose carry merges per-probe top-2
+    results — peak memory is one (tile, cap, D) gather regardless of Q,
+    nprobe, or database size.
     """
     nprobe = min(cfg.nprobe, index.centroids.shape[0])
-    cdist = pairwise_sqdist(desc_q, index.centroids)         # (Q, C)
-    _, probe = lax.top_k(-cdist, nprobe)                     # (Q, nprobe)
+    q, d = desc_q.shape
+    tile = min(cfg.query_tile, q)
 
-    ids = index.bucket_ids[probe]                            # (Q, P, cap)
-    ok = index.bucket_valid[probe]
-    q = desc_q.shape[0]
-    ids = ids.reshape(q, -1)                                 # (Q, K)
-    ok = ok.reshape(q, -1)
+    def tile_body(args):
+        dq, vq = args                                        # (T, D), (T,)
+        cdist = pairwise_sqdist(dq, index.centroids)         # (T, C)
+        _, probe = lax.top_k(-cdist, nprobe)                 # (T, nprobe)
+        q2 = jnp.sum(dq * dq, axis=-1)[:, None]              # (T, 1)
 
-    cand = index.desc[ids]                                   # (Q, K, D)
-    # Batched distances: |q|^2 + |c|^2 - 2 q.c, the cross term one
-    # (Q, 1, D) x (Q, K, D) batched MXU contraction.
-    q2 = jnp.sum(desc_q * desc_q, axis=-1)[:, None]          # (Q, 1)
-    c2 = jnp.sum(cand * cand, axis=-1)                       # (Q, K)
-    qc = jnp.einsum("qd,qkd->qk", desc_q, cand,
-                    preferred_element_type=jnp.float32)
-    dist = jnp.maximum(q2 + c2 - 2.0 * qc, 0.0)
-    dist = jnp.where(ok, dist, _BIG)
-    dist = jnp.where(valid_q[:, None], dist, _BIG)
+        def one_probe(carry, p):
+            ids = index.bucket_ids[p]                        # (T, cap)
+            ok = index.bucket_valid[p]
+            cand = index.desc[ids]                           # (T, cap, D)
+            c2 = jnp.sum(cand * cand, axis=-1)               # (T, cap)
+            qc = jnp.einsum("td,tkd->tk", dq, cand,
+                            preferred_element_type=jnp.float32)
+            dist = jnp.maximum(q2 + c2 - 2.0 * qc, 0.0)
+            dist = jnp.where(ok, dist, _BIG)
+            best = jnp.min(dist, axis=-1)
+            pos = jnp.argmin(dist, axis=-1)
+            second = jnp.min(
+                dist + jax.nn.one_hot(pos, dist.shape[-1],
+                                      dtype=dist.dtype) * _BIG, axis=-1)
+            idx = jnp.take_along_axis(ids, pos[:, None], axis=-1)[:, 0]
+            return _merge_top2(carry, (best, second, idx)), None
 
-    best = jnp.min(dist, axis=-1)
-    pos = jnp.argmin(dist, axis=-1)
-    second = jnp.min(dist + jax.nn.one_hot(pos, dist.shape[-1],
-                                           dtype=dist.dtype) * _BIG, axis=-1)
-    best_idx = jnp.take_along_axis(ids, pos[:, None], axis=-1)[:, 0]
-    return best, second, best_idx
+        t = dq.shape[0]
+        init = (jnp.full((t,), _BIG), jnp.full((t,), _BIG),
+                jnp.zeros((t,), jnp.int32))
+        (best, second, idx), _ = lax.scan(one_probe, init, probe.T)
+        best = jnp.where(vq, best, _BIG)
+        second = jnp.where(vq, second, _BIG)
+        return best, second, idx
+
+    if q <= tile:
+        return tile_body((desc_q, valid_q))
+
+    pad = (-q) % tile
+    dq = jnp.pad(desc_q, ((0, pad), (0, 0)))
+    vq = jnp.pad(valid_q, (0, pad))
+    nt = dq.shape[0] // tile
+    best, second, idx = lax.map(
+        tile_body, (dq.reshape(nt, tile, d), vq.reshape(nt, tile)))
+    return (best.reshape(-1)[:q], second.reshape(-1)[:q],
+            idx.reshape(-1)[:q])
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "ann"))

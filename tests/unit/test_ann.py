@@ -123,3 +123,22 @@ def test_jit_and_determinism():
     b2, _, a2 = search_ivf(i2, jnp.asarray(q), jnp.ones(64, bool), ann)
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
     np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+
+
+def test_query_tiling_invariant():
+    """Q > query_tile exercises the lax.map tiling + padding path; results
+    must equal the single-tile formulation."""
+    rng = np.random.default_rng(5)
+    db = _clustered_db(rng, 1024, n_centers=16)
+    q = _clustered_db(rng, 300)          # deliberately not a tile multiple
+    vq = rng.random(300) > 0.1
+    idx = None
+    outs = []
+    for tile in (512, 64):               # single-tile vs 5-tile (padded)
+        ann = AnnConfig(n_clusters=16, nprobe=16, bucket_capacity=512,
+                        kmeans_iters=5, query_tile=tile)
+        if idx is None:
+            idx = build_ivf(jnp.asarray(db), jnp.ones(1024, bool), ann)
+        outs.append(search_ivf(idx, jnp.asarray(q), jnp.asarray(vq), ann))
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
