@@ -216,6 +216,13 @@ class PipelineConfig:
     # hosts.
     chunked_tracking: bool = False
 
+    # Dispatch the NEXT chunk's extraction before the current chunk's
+    # blocking result read (process_sequence): extraction has no data
+    # dependency on tracking, so the device fills the read's RTT with
+    # useful work. Opt-in like the other pipelining knobs (some remote
+    # runtimes mishandle an enqueue overlapping an in-flight read).
+    extract_ahead: bool = False
+
     # Bootstrap / keyframe policy.
     min_bootstrap_matches: int = 40
     min_bootstrap_parallax: float = 8.0   # px, median flow before two-view init

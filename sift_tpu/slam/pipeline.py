@@ -669,18 +669,34 @@ class SfmPipeline:
         results = []
         n = len(frames)
         nxt = upload(0) if n else None
+        kp_next = None          # extract dispatched one chunk ahead
         for start in range(0, n, batch):
             imgs_dev, n_chunk = nxt
-            kp_batch = _extract_batch(imgs_dev)
+            kp_batch = kp_next if kp_next is not None \
+                else _extract_batch(imgs_dev)
+            kp_next = None
             # Prefetch the next chunk's transfer behind this chunk's
             # device work and blocking result read.
             nxt = upload(start + batch) if start + batch < n else None
 
+            def _extract_ahead():
+                # Dispatch the NEXT chunk's extraction before this chunk's
+                # blocking read: extraction has no data dependency on the
+                # tracking results, so the device runs it while the host
+                # waits on the read RTT and does the promotion bookkeeping
+                # (idempotent — safe to call from several fall-through
+                # paths).
+                nonlocal kp_next
+                if cfg.extract_ahead and kp_next is None and nxt is not None:
+                    kp_next = _extract_batch(nxt[0])
+
             if cfg.chunked_tracking and depths is None and \
                     self.state == "tracking" and cfg.use_local_map:
-                if self._process_chunk_tracked(kp_batch, n_chunk, results):
+                if self._process_chunk_tracked(kp_batch, n_chunk, results,
+                                               after_dispatch=_extract_ahead):
                     continue        # whole chunk handled in one dispatch
 
+            _extract_ahead()
             for bi in range(n_chunk):
                 kp_i = jax.tree.map(lambda a: a[bi], kp_batch)
                 self._frame_idx += 1
@@ -702,7 +718,8 @@ class SfmPipeline:
         return results
 
     def _process_chunk_tracked(self, kp_batch: Keypoints, n_frames: int,
-                               results: List[Dict]) -> bool:
+                               results: List[Dict],
+                               after_dispatch=None) -> bool:
         """Device-resident tracking of one extraction chunk
         (PipelineConfig.chunked_tracking): one fused dispatch + one packed
         read covers every frame AND the (at most one) keyframe promotion —
@@ -753,6 +770,8 @@ class SfmPipeline:
             jnp.asarray(ref_kf.kp["valid"]),
             jnp.asarray(lms_a.astype(np.float32)), jnp.asarray(has),
             jnp.asarray(uv_a))
+        if after_dispatch is not None:
+            after_dispatch()       # e.g. next chunk's extract (see caller)
         arr = np.asarray(packed_dev)                 # the chunk's ONE read
         per_frame = arr[:B * 8].reshape(B, 8)[:n_frames]
         n_inls = per_frame[:, 6].astype(np.int32)
@@ -1627,6 +1646,15 @@ class SfmPipeline:
             # mutated (next promotion / PGO / finalize). Tracking frames in
             # between run against the pre-BA poses, which a window's worth
             # of robust localization tolerates by design.
+            # Start the device->host copy NOW: the transfer rides behind
+            # the BA program and the tracking chunks that follow, so the
+            # blocking read in `_flush_ba` at the next promotion finds the
+            # bytes already on the host instead of paying a full tunnel
+            # round trip on the critical path.
+            try:
+                st.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass                       # backend without async D2H
             self._pending_ba = (st, list(window), uniq, L, O)
             return
         self._apply_ba_result(st, window, uniq, L, O)

@@ -269,3 +269,21 @@ def test_loop_closure_from_pixels():
     gt = np.stack([[t, 0.0, 0.0] for t in txs])
     ate = ate_rmse(pipe.positions(), gt, align=True, with_scale=True)
     assert ate < 0.06, ate
+
+
+@pytest.mark.slow
+def test_extract_ahead_identical_trajectory():
+    """extract_ahead dispatches chunk N+1's extraction before chunk N's
+    blocking read — pure reordering of independent dispatches, so the
+    trajectory must be bit-identical to the non-pipelined chunked path."""
+    n = 20
+    seq = [_render(STEP * i) for i in range(n)]
+    poses = []
+    for ahead in (False, True):
+        cfg = _cfg().replace(chunked_tracking=True, ba_async=True,
+                             extract_ahead=ahead)
+        pipe = SfmPipeline(INTR, cfg)
+        pipe.process_sequence(seq, batch=4)
+        assert pipe.chunk_stats["chunks"] >= 2, pipe.chunk_stats
+        poses.append(pipe.positions())
+    np.testing.assert_array_equal(poses[0], poses[1])
