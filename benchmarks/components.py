@@ -115,6 +115,49 @@ def bench_matching_large():
                         f"speedup={out['xla']/out['pallas']:.2f}x"))
 
 
+def bench_ann():
+    """IVF-Flat search vs brute force at the same problem size.
+
+    The index pays off where FLOPs dominate: expected speedup ~
+    n_clusters/nprobe at equal recall on clustered data (matching/ann.py).
+    """
+    import jax.numpy as jnp
+    from sift_tpu.config import AnnConfig
+    from sift_tpu.matching.ann import build_ivf, search_ivf
+    from sift_tpu.matching.matcher import pairwise_sqdist
+    from sift_tpu.utils.timing import chained_time, tree_scalar
+
+    nq, ndb = (512, 4096) if SMALL else (4096, 131072)
+    nc = 64 if SMALL else 256
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((nc, 128)).astype(np.float32)
+    db = (centers[rng.integers(0, nc, ndb)]
+          + 0.15 * rng.standard_normal((ndb, 128))).astype(np.float32)
+    q = (centers[rng.integers(0, nc, nq)]
+         + 0.15 * rng.standard_normal((nq, 128))).astype(np.float32)
+    ann = AnnConfig(n_clusters=nc, nprobe=8,
+                    bucket_capacity=max(256, 4 * ndb // nc),
+                    kmeans_iters=10, query_tile=512)
+    idx = build_ivf(jnp.asarray(db), jnp.ones(ndb, bool), ann)
+
+    def fn_ivf(x):
+        b, s, a = search_ivf(idx, x, jnp.ones(nq, bool), ann)
+        return tree_scalar((b, s, a.astype(jnp.float32)))
+
+    def fn_brute(x):
+        d = pairwise_sqdist(x, jnp.asarray(db))
+        return tree_scalar((jnp.min(d, -1), jnp.argmin(d, -1)))
+
+    t_ivf = chained_time(fn_ivf, (jnp.asarray(q),))
+    t_bf = chained_time(fn_brute, (jnp.asarray(q),))
+    return dict(metric="ann_queries_per_s", value=round(nq / t_ivf, 1),
+                unit="q/s",
+                detail=(f"{nq}q x {ndb}db ivf={t_ivf*1e3:.2f}ms "
+                        f"brute={t_bf*1e3:.2f}ms "
+                        f"speedup={t_bf/t_ivf:.2f}x "
+                        f"overflow={int(idx.n_overflow)}"))
+
+
 def bench_ransac():
     import jax
     import jax.numpy as jnp
@@ -262,8 +305,8 @@ def bench_roofline():
 
 
 def main():
-    for fn in (bench_matching, bench_matching_large, bench_ransac,
-               bench_ba, bench_blur):
+    for fn in (bench_matching, bench_matching_large, bench_ann,
+               bench_ransac, bench_ba, bench_blur):
         try:
             print(json.dumps(fn()))
         except Exception as e:  # keep the report going

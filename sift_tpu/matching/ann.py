@@ -54,8 +54,16 @@ class IvfIndex:
     centroids:    (C, D) float32 k-means centroids.
     bucket_ids:   (C, cap) int32 database row ids per cluster (padded 0).
     bucket_valid: (C, cap) bool.
-    desc:         (N, D) float32 the database descriptors (referenced by
-                  bucket_ids; kept here so search needs no extra args).
+    bucket_desc:  (C, cap, D) float32 descriptors REPLICATED into bucket
+                  layout. This trades ~(C*cap/N)x extra memory for
+                  first-axis-only gathers in the search hot loop — on TPU
+                  a leading-dim index is a contiguous DMA while the
+                  equivalent `desc[ids]` advanced-indexing gather lowers
+                  to a scalar-expensive general gather (the same finding
+                  as the window-fetch kernel, CLAUDE.md perf notes).
+    desc:         (N, D) float32 the caller's database buffer (shared
+                  reference, no copy) — used by the exact-on-candidate
+                  mutual check.
     n_overflow:   () int32 — database points dropped because their
                   cluster's fixed-capacity bucket was full. Size
                   `bucket_capacity` above N/C with headroom to keep this 0.
@@ -64,6 +72,7 @@ class IvfIndex:
     centroids: jnp.ndarray
     bucket_ids: jnp.ndarray
     bucket_valid: jnp.ndarray
+    bucket_desc: jnp.ndarray
     desc: jnp.ndarray
     n_overflow: jnp.ndarray
 
@@ -137,9 +146,14 @@ def build_ivf(desc: jnp.ndarray, valid: jnp.ndarray, cfg: AnnConfig,
                                              mode="drop")
     bucket_valid = bucket_valid.at[row, col].set(in_cap, mode="drop")
 
-    return IvfIndex(centroids=cent, bucket_ids=bucket_ids[:c],
-                    bucket_valid=bucket_valid[:c], desc=desc,
-                    n_overflow=n_overflow.astype(jnp.int32))
+    bucket_ids = bucket_ids[:c]
+    bucket_valid = bucket_valid[:c]
+    # One build-time gather into bucket layout buys first-axis-only
+    # gathers at every search (see IvfIndex.bucket_desc).
+    bucket_desc = desc[bucket_ids]
+    return IvfIndex(centroids=cent, bucket_ids=bucket_ids,
+                    bucket_valid=bucket_valid, bucket_desc=bucket_desc,
+                    desc=desc, n_overflow=n_overflow.astype(jnp.int32))
 
 
 def _merge_top2(a, b):
@@ -185,7 +199,7 @@ def search_ivf(index: IvfIndex, desc_q: jnp.ndarray, valid_q: jnp.ndarray,
         def one_probe(carry, p):
             ids = index.bucket_ids[p]                        # (T, cap)
             ok = index.bucket_valid[p]
-            cand = index.desc[ids]                           # (T, cap, D)
+            cand = index.bucket_desc[p]                      # (T, cap, D)
             c2 = jnp.sum(cand * cand, axis=-1)               # (T, cap)
             qc = jnp.einsum("td,tkd->tk", dq, cand,
                             preferred_element_type=jnp.float32)
