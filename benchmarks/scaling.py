@@ -105,6 +105,32 @@ def main():
                 "v_mode": v_mode,
                 "value": round(best * 1e3, 2), "unit": "ms",
                 "speedup": round(base_t / best, 3)}))
+
+    # Row-sharded large-N matching across meshes (dist/matching_dist.py).
+    from sift_tpu.config import MatchConfig
+    from sift_tpu.dist.matching_dist import match_large_sharded
+    na, nb = (1024, 1024) if small else (8192, 8192)
+    dm = rng.standard_normal((na + nb, 128)).astype(np.float32)
+    da, db = jnp.asarray(dm[:na]), jnp.asarray(dm[na:])
+    va, vb = jnp.ones(na, bool), jnp.ones(nb, bool)
+    mcfg = MatchConfig(max_matches=1024, impl="xla")
+    base_m = None
+    for n in sizes:
+        mesh = make_mesh(MeshConfig(data=n, model=1))
+        m = match_large_sharded(mesh, da, va, db, vb, mcfg)
+        jax.block_until_ready(m)            # warm/compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            m = match_large_sharded(mesh, da, va, db, vb, mcfg)
+            jax.block_until_ready(m)
+            best = min(best, time.perf_counter() - t0)
+        if base_m is None:
+            base_m = best
+        print(json.dumps({
+            "metric": "match_large_scaling", "devices": n,
+            "value": round(best * 1e3, 2), "unit": "ms",
+            "speedup": round(base_m / best, 3)}))
     return 0
 
 
