@@ -316,10 +316,11 @@ def cmd_sfm(args) -> int:
     t0 = time.perf_counter()
     # Batched extraction keeps the device busy (see
     # SfmPipeline.process_sequence); --batch 1 falls back to per-frame.
-    if args.batch > 1 and not use_stereo:
+    if args.batch > 1:
         results = pipe.process_sequence(
             [f.gray for f in seq],
             depths=[f.depth for f in seq] if use_depth else None,
+            rights=[f.gray_right for f in seq] if use_stereo else None,
             batch=args.batch)
     else:
         results = [pipe.process_frame(f.gray,

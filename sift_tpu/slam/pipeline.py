@@ -201,6 +201,13 @@ class SfmPipeline:
 
             self._jit_stereo = _stereo
 
+            @jax.jit
+            def _stereo_batch(kp_l, kp_r):
+                return jax.vmap(lambda a, b: stereo_depths(
+                    a, b, fx_s, bl, subpixel=subpix))(kp_l, kp_r)
+
+            self._jit_stereo_batch = _stereo_batch
+
         from sift_tpu.matching.matcher import match_descriptors_guided
         from sift_tpu.geometry.camera import project as project_cam
 
@@ -630,7 +637,8 @@ class SfmPipeline:
         return dict(pose=pose0, tracked=True, is_keyframe=True,
                     n_inliers=int(slots.shape[0]), state="tracking")
 
-    def process_sequence(self, frames, depths=None, batch: int = 8):
+    def process_sequence(self, frames, depths=None, rights=None,
+                         batch: int = 8):
         """Process a frame sequence with batched extraction.
 
         Per-frame `process_frame` dispatches one image at a time; on TPU
@@ -642,10 +650,18 @@ class SfmPipeline:
 
         frames: list/sequence of (H, W) arrays (equal shapes).
         depths: optional matching sequence of depth maps.
+        rights: optional matching sequence of rectified right stereo
+            frames (requires `stereo_baseline`); right extraction and
+            per-keypoint stereo depth run batched — 2 extract + 1 stereo
+            dispatch and ONE depth read per chunk instead of 3 dispatches
+            + a read per frame.
         Returns the list of per-frame result dicts.
         """
         assert self.frontend is None, \
             "process_sequence uses the built-in extractor"
+        assert rights is None or depths is None, "rights XOR depths"
+        assert rights is None or self.stereo_baseline is not None, \
+            "pass stereo_baseline= to SfmPipeline for stereo input"
         cfg = self.cfg
         # Stage-level jit (NOT defined here): a fresh jit wrapper per call
         # would re-trace/compile on every process_sequence invocation.
@@ -664,6 +680,13 @@ class SfmPipeline:
                 chunk = [f.astype(np.float32, copy=False) for f in chunk]
             pad = batch - len(chunk)
             imgs = np.stack(chunk + [chunk[-1]] * pad)
+            if rights is not None:
+                rchunk = [np.asarray(f) for f in rights[start:start + batch]]
+                if not all(f.dtype == np.uint8 for f in rchunk):
+                    rchunk = [f.astype(np.float32, copy=False)
+                              for f in rchunk]
+                rimgs = np.stack(rchunk + [rchunk[-1]] * pad)
+                return (jnp.asarray(imgs), jnp.asarray(rimgs)), len(chunk)
             return jnp.asarray(imgs), len(chunk)
 
         results = []
@@ -672,8 +695,17 @@ class SfmPipeline:
         kp_next = None          # extract dispatched one chunk ahead
         for start in range(0, n, batch):
             imgs_dev, n_chunk = nxt
-            kp_batch = kp_next if kp_next is not None \
-                else _extract_batch(imgs_dev)
+            stereo_z = None
+            if rights is not None:
+                # Stereo chunk: both sides extracted batched, per-keypoint
+                # depths for the whole chunk in one dispatch + ONE read.
+                kp_batch = _extract_batch(imgs_dev[0])
+                kp_r_batch = _extract_batch(imgs_dev[1])
+                stereo_z = np.asarray(
+                    self._jit_stereo_batch(kp_batch, kp_r_batch))
+            else:
+                kp_batch = kp_next if kp_next is not None \
+                    else _extract_batch(imgs_dev)
             kp_next = None
             # Prefetch the next chunk's transfer behind this chunk's
             # device work and blocking result read.
@@ -687,11 +719,12 @@ class SfmPipeline:
                 # (idempotent — safe to call from several fall-through
                 # paths).
                 nonlocal kp_next
-                if cfg.extract_ahead and kp_next is None and nxt is not None:
+                if cfg.extract_ahead and rights is None \
+                        and kp_next is None and nxt is not None:
                     kp_next = _extract_batch(nxt[0])
 
-            if cfg.chunked_tracking and depths is None and \
-                    self.state == "tracking" and cfg.use_local_map:
+            if cfg.chunked_tracking and depths is None and rights is None \
+                    and self.state == "tracking" and cfg.use_local_map:
                 if self._process_chunk_tracked(kp_batch, n_chunk, results,
                                                after_dispatch=_extract_ahead):
                     continue        # whole chunk handled in one dispatch
@@ -701,6 +734,8 @@ class SfmPipeline:
                 kp_i = jax.tree.map(lambda a: a[bi], kp_batch)
                 self._frame_idx += 1
                 depth = depths[start + bi] if depths is not None else None
+                if stereo_z is not None:
+                    depth = stereo_z[bi]          # (N,) per-keypoint depths
                 if self.state == "bootstrap":
                     kp = _np_kp(kp_i, cfg.sift.subpixel)
                     out = (self._bootstrap_rgbd(kp, depth) if depth is not None

@@ -287,3 +287,30 @@ def test_extract_ahead_identical_trajectory():
         assert pipe.chunk_stats["chunks"] >= 2, pipe.chunk_stats
         poses.append(pipe.positions())
     np.testing.assert_array_equal(poses[0], poses[1])
+
+
+@pytest.mark.slow
+def test_stereo_batched_sequence_matches_per_frame(frames):
+    """process_sequence(rights=...) batches both extractions and the
+    per-keypoint stereo depth (one dispatch + one read per chunk); the
+    trajectory must be identical to the per-frame stereo path."""
+    baseline = 0.8
+    rights = [_render(STEP * i + baseline) for i in range(N_FRAMES)]
+
+    pipe_a = SfmPipeline(INTR, _cfg(), stereo_baseline=baseline)
+    for i in range(N_FRAMES):
+        pipe_a.process_frame(frames[i], right=rights[i])
+    pipe_a.finalize()
+
+    pipe_b = SfmPipeline(INTR, _cfg(), stereo_baseline=baseline)
+    pipe_b.process_sequence(list(frames), rights=rights, batch=4)
+
+    assert pipe_b.state == "tracking"
+    # Same logic, same PRNG stream; the residual is vmapped-vs-single
+    # XLA numerics (the batched extractor/stereo programs fuse reductions
+    # differently), so the bound is sub-millimeter, not bitwise.
+    np.testing.assert_allclose(pipe_a.positions(), pipe_b.positions(),
+                               rtol=0, atol=1e-3)
+    gt = np.stack([[STEP * i, 0.0, 0.0] for i in range(N_FRAMES)])
+    ate = ate_rmse(pipe_b.positions(), gt, align=True, with_scale=False)
+    assert ate < 0.03, ate
