@@ -273,5 +273,10 @@ class PipelineConfig:
     max_pose_graph_nodes: int = 256   # static PGO capacity (pad + mask)
     max_pose_graph_edges: int = 1024
 
+    # Map maintenance: every N keyframe promotions, drop unreferenced
+    # landmark rows (loop-closure fusion orphans) and compact the id
+    # space (SfmPipeline.compact_landmarks). 0 = manual only.
+    compact_interval_kf: int = 0
+
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

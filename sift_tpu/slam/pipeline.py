@@ -1362,6 +1362,11 @@ class SfmPipeline:
         self._add_odometry_edge(new_idx - 1, new_idx)
         if self.cfg.enable_loop_closure:
             self._try_loop_closure(new_idx)
+        if self.cfg.compact_interval_kf and \
+                (new_idx + 1) % self.cfg.compact_interval_kf == 0:
+            # Before the window-BA kickoff: nothing is pending here, so
+            # the compaction's flush never blocks on an in-flight solve.
+            self.compact_landmarks()
         self._run_window_ba(fix_first_n=2)
         if self.logger is not None:
             self.logger.log("keyframe", frame=self._frame_idx,
@@ -1473,6 +1478,42 @@ class SfmPipeline:
                                 inliers=n_inl, rmse=float(rmse))
             self._run_pose_graph()
             break          # at most one closure per keyframe
+
+    def compact_landmarks(self, min_refs: int = 1) -> Dict[str, int]:
+        """Drop under-referenced landmarks and compact the id space.
+
+        Loop-closure fusion remaps duplicate landmark ids but leaves the
+        duplicate ROWS behind; long runs accumulate orphans and the map
+        arrays grow without bound. This removes every landmark referenced
+        by fewer than `min_refs` keyframe slots and renumbers the rest
+        (landmark array, `lm_ref_kf`, every keyframe's `kp_lm`).
+
+        `min_refs=1` is result-neutral: dropped rows are unreachable from
+        any keyframe, so tracking, BA windows, and loop re-anchoring never
+        see them. `min_refs=2` additionally drops single-observation
+        points (weakly constrained in BA) — slots referencing them lose
+        their association. Any deferred window-BA result is applied first
+        (its landmark ids refer to the pre-compaction space).
+        """
+        self._flush_ba()
+        n = self.landmarks.shape[0]
+        refs = np.zeros(n, np.int64)
+        for kf in self.keyframes:
+            ids = kf.kp_lm[kf.kp_lm >= 0]
+            np.add.at(refs, ids, 1)
+        keep = refs >= min_refs
+        kept = int(keep.sum())
+        remap = np.full(n, -1, np.int64)
+        remap[keep] = np.arange(kept)
+        self.landmarks = self.landmarks[keep]
+        self.lm_ref_kf = self.lm_ref_kf[keep]
+        for kf in self.keyframes:
+            has = kf.kp_lm >= 0
+            kf.kp_lm[has] = remap[kf.kp_lm[has]]
+        self._map_version += 1
+        if self.logger is not None:
+            self.logger.log("compact", kept=kept, dropped=n - kept)
+        return dict(kept=kept, dropped=n - kept)
 
     def _fuse_loop_landmarks(self, new_kf: Keyframe,
                              new_slots: np.ndarray,

@@ -424,3 +424,32 @@ def test_sim3_pose_graph_corrects_scale_drift():
         axis=-1)
     ratio = d_after[d_true > 1.0] / d_true[d_true > 1.0]
     assert abs(np.median(ratio) - 1.0) < 0.08, np.median(ratio)
+
+
+def test_auto_compaction_is_result_neutral(world):
+    """compact_interval_kf relabels landmark ids mid-run (monotonic remap,
+    orphans dropped); the trajectory must be identical to the uncompacted
+    run and the map must not be smaller than the referenced set."""
+    n_frames = len(world.poses)
+
+    def run(interval):
+        pipe = _pipeline(world)
+        if interval:
+            pipe.cfg = pipe.cfg.replace(compact_interval_kf=interval)
+        for i in range(n_frames):
+            pipe.process_frame(np.full((2, 2), i, np.float32))
+        return pipe
+
+    a = run(0)
+    b = run(2)
+    np.testing.assert_array_equal(a.positions(), b.positions())
+    assert b.landmarks.shape[0] <= a.landmarks.shape[0]
+    # Ids stay dense and in range after the remaps.
+    for kf in b.keyframes:
+        assert kf.kp_lm.max() < b.landmarks.shape[0]
+    # Final explicit compaction leaves zero orphans.
+    b.compact_landmarks()
+    refs = np.zeros(b.landmarks.shape[0], np.int64)
+    for kf in b.keyframes:
+        np.add.at(refs, kf.kp_lm[kf.kp_lm >= 0], 1)
+    assert (refs > 0).all()

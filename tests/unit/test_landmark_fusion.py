@@ -42,3 +42,46 @@ def test_fuse_adopt_and_merge():
         assert not np.isin(kf.kp_lm, [4, 5]).any()
     # Untouched associations stay.
     assert (kf0.kp_lm[:3] == [0, 1, 2]).all()
+
+
+def test_compact_landmarks_drops_orphans_and_remaps():
+    pipe = SfmPipeline((500.0, 500.0, 320.0, 240.0), PipelineConfig(),
+                       frontend=lambda g: None)
+    pipe.landmarks = np.arange(18, dtype=np.float32).reshape(6, 3)
+    pipe.lm_ref_kf = np.asarray([0, 0, 0, 1, 1, 1], np.int64)
+
+    kf0 = _mk_kf(8, 0)
+    kf0.kp_lm[:3] = [0, 1, 2]
+    kf1 = _mk_kf(8, 1)
+    kf1.kp_lm[0] = 4
+    kf1.kp_lm[5] = 5
+    pipe.keyframes = [kf0, kf1]
+    pipe._fuse_loop_landmarks(kf1, np.asarray([0, 5]), np.asarray([0, 2]))
+
+    before = pipe.landmarks.copy()
+    stats = pipe.compact_landmarks()
+    assert stats == dict(kept=3, dropped=3)          # rows 3,4,5 orphaned
+    assert pipe.landmarks.shape == (3, 3)
+    assert pipe.lm_ref_kf.tolist() == [0, 0, 0]
+    # Surviving rows keep their positions; references follow the remap.
+    np.testing.assert_array_equal(pipe.landmarks, before[:3])
+    assert kf0.kp_lm[:3].tolist() == [0, 1, 2]
+    assert kf1.kp_lm[0] == 0 and kf1.kp_lm[5] == 2
+    assert (kf1.kp_lm[[1, 2, 3, 4, 6, 7]] == -1).all()
+
+
+def test_compact_min_refs_two_drops_singletons():
+    pipe = SfmPipeline((500.0, 500.0, 320.0, 240.0), PipelineConfig(),
+                       frontend=lambda g: None)
+    pipe.landmarks = np.arange(9, dtype=np.float32).reshape(3, 3)
+    pipe.lm_ref_kf = np.zeros(3, np.int64)
+    kf0 = _mk_kf(4, 0)
+    kf0.kp_lm[:3] = [0, 1, 2]
+    kf1 = _mk_kf(4, 1)
+    kf1.kp_lm[0] = 0           # landmark 0 is doubly observed
+    pipe.keyframes = [kf0, kf1]
+
+    stats = pipe.compact_landmarks(min_refs=2)
+    assert stats == dict(kept=1, dropped=2)
+    assert kf0.kp_lm[0] == 0 and (kf0.kp_lm[1:3] == -1).all()
+    assert kf1.kp_lm[0] == 0
