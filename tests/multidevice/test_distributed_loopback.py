@@ -46,6 +46,23 @@ st = run_ba_sharded(
 if pid == 0:
     np.save(os.path.join(outdir, f"poses_{n}proc.npy"),
             np.asarray(jax.device_get(st.poses)))
+
+# Row-sharded matching across the same global mesh (integer outputs must
+# be identical across process counts).
+from sift_tpu.config import MatchConfig
+from sift_tpu.dist.matching_dist import match_large_sharded
+rng = np.random.default_rng(7)
+db = rng.standard_normal((96, 128)).astype(np.float32) * 3.0
+qa = rng.standard_normal((128, 128)).astype(np.float32) * 3.0
+qa[:48] = db[:48] + 0.01 * rng.standard_normal((48, 128))
+m = match_large_sharded(mesh, jnp.asarray(qa), jnp.ones(128, bool),
+                        jnp.asarray(db), jnp.ones(96, bool),
+                        MatchConfig(max_matches=64))
+if pid == 0:
+    np.savez(os.path.join(outdir, f"matches_{n}proc.npz"),
+             idx_a=np.asarray(jax.device_get(m.idx_a)),
+             idx_b=np.asarray(jax.device_get(m.idx_b)),
+             valid=np.asarray(jax.device_get(m.valid)))
 """
 
 
@@ -75,3 +92,11 @@ def test_two_process_ba_matches_single_process(tmp_path):
     b = np.load(tmp_path / "poses_2proc.npy")
     # Same optimization across process counts (float reassociation only).
     np.testing.assert_allclose(a, b, atol=1e-4)
+
+    ma = np.load(tmp_path / "matches_1proc.npz")
+    mb = np.load(tmp_path / "matches_2proc.npz")
+    assert ma["valid"].sum() >= 40              # planted matches recovered
+    np.testing.assert_array_equal(ma["valid"], mb["valid"])
+    v = ma["valid"]
+    np.testing.assert_array_equal(ma["idx_a"][v], mb["idx_a"][v])
+    np.testing.assert_array_equal(ma["idx_b"][v], mb["idx_b"][v])
