@@ -1479,6 +1479,91 @@ class SfmPipeline:
             self._run_pose_graph()
             break          # at most one closure per keyframe
 
+    def cull_keyframes(self, redundancy: float = 0.9,
+                       min_other_refs: int = 3) -> Dict[str, int]:
+        """Remove redundant keyframes (ORB-SLAM-style map maintenance).
+
+        A keyframe outside the newest BA window is redundant when at
+        least `redundancy` of its associated landmarks are also observed
+        by `min_other_refs` OTHER keyframes — removing it loses no map
+        constraint that matters. Never culls keyframe 0 (the gauge
+        anchor) or endpoints of loop-closure edges (their measured
+        constraints are irreplaceable).
+
+        Bookkeeping: keyframe indices are renumbered; odometry edges are
+        rebuilt over surviving consecutive pairs (their relative poses
+        are refreshed from current estimates at every PGO anyway,
+        `_add_odometry_edge`), loop edges keep their measurement with
+        remapped endpoints, `lm_ref_kf` re-anchors each landmark to the
+        nearest surviving keyframe at or before its creator, and the
+        global descriptor index is rebuilt. Any deferred window-BA
+        result is applied first.
+        """
+        self._flush_ba()
+        n_kf = len(self.keyframes)
+        window_start = max(0, n_kf - self.cfg.window_size)
+        if window_start <= 1:
+            return dict(culled=0, kept=n_kf)
+
+        refs = np.zeros(max(self.landmarks.shape[0], 1), np.int64)
+        for kf in self.keyframes:
+            np.add.at(refs, kf.kp_lm[kf.kp_lm >= 0], 1)
+        protected = {0}
+        for e in self.pose_edges:
+            if e.get("kind") != "odom":
+                protected.add(e["i"])
+                protected.add(e["j"])
+
+        cull = []
+        for i in range(1, window_start):
+            if i in protected:
+                continue
+            ids = self.keyframes[i].kp_lm
+            ids = ids[ids >= 0]
+            if ids.size and np.mean(
+                    refs[ids] >= min_other_refs + 1) < redundancy:
+                continue
+            cull.append(i)
+            np.subtract.at(refs, ids, 1)  # removal affects later decisions
+        if not cull:
+            return dict(culled=0, kept=n_kf)
+
+        keep = [i for i in range(n_kf) if i not in set(cull)]
+        remap = {old: new for new, old in enumerate(keep)}
+        # Nearest surviving keyframe at-or-before each old index (for
+        # landmark re-anchoring; old 0 always survives).
+        anchor = np.zeros(n_kf, np.int64)
+        cur = 0
+        for old in range(n_kf):
+            if old in remap:
+                cur = remap[old]
+            anchor[old] = cur
+        self.keyframes = [self.keyframes[i] for i in keep]
+        self.lm_ref_kf = anchor[np.clip(self.lm_ref_kf, 0, n_kf - 1)]
+
+        loop_edges = []
+        for e in self.pose_edges:
+            if e.get("kind") == "odom":
+                continue
+            e2 = dict(e)
+            e2["i"], e2["j"] = remap[e["i"]], remap[e["j"]]
+            loop_edges.append(e2)
+        self.pose_edges = [
+            dict(i=k, j=k + 1, kind="odom",
+                 z=self._rel_pose(self.keyframes[k].pose,
+                                  self.keyframes[k + 1].pose), w=1.0)
+            for k in range(len(self.keyframes) - 1)] + loop_edges
+
+        self._global_index = None
+        for i, kf in enumerate(self.keyframes):
+            self._index_keyframe(i, kf)
+        self._map_version += 1
+        self._local_map_cache = None
+        if self.logger is not None:
+            self.logger.log("cull_keyframes", culled=len(cull),
+                            kept=len(keep))
+        return dict(culled=len(cull), kept=len(keep))
+
     def compact_landmarks(self, min_refs: int = 1) -> Dict[str, int]:
         """Drop under-referenced landmarks and compact the id space.
 

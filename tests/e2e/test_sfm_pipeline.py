@@ -453,3 +453,51 @@ def test_auto_compaction_is_result_neutral(world):
     for kf in b.keyframes:
         np.add.at(refs, kf.kp_lm[kf.kp_lm >= 0], 1)
     assert (refs > 0).all()
+
+
+def test_keyframe_culling_keeps_tracking(world):
+    """cull_keyframes removes redundant mid-trajectory keyframes; the map
+    stays consistent (dense ids, valid edges, re-anchored landmarks) and
+    the pipeline keeps tracking accurately afterwards."""
+    n_frames = len(world.poses)
+    half = 3 * n_frames // 4
+    # Dense keyframing + a short window so several keyframes sit outside
+    # the protected tail (the default policy keeps maps this small all
+    # inside one window, where culling correctly refuses to act).
+    cfg = PipelineConfig(
+        sift=SiftConfig(mode="lowe", max_keypoints=KP_CAP),
+        match=MatchConfig(ratio=0.85, max_matches=KP_CAP),
+        ransac=RansacConfig(num_hypotheses=256, inlier_threshold=2.0,
+                            min_inliers=15),
+        ba=BAConfig(max_iterations=8, cg_iterations=30),
+        window_size=4, ba_max_landmarks=1024, ba_max_observations=4096,
+        min_bootstrap_parallax=6.0, kf_min_tracked=120, kf_max_interval=2,
+        min_triangulation_angle_deg=0.25,
+    )
+    frames = {i: world.frame_keypoints(i) for i in range(n_frames)}
+    pipe = SfmPipeline(INTR, cfg, frontend=lambda g: frames[int(g[0, 0])])
+    for i in range(half):
+        pipe.process_frame(np.full((2, 2), i, np.float32))
+    n_before = len(pipe.keyframes)
+    assert n_before >= 8
+
+    stats = pipe.cull_keyframes(redundancy=0.5, min_other_refs=2)
+    assert stats["culled"] >= 1, stats
+    assert len(pipe.keyframes) == stats["kept"]
+    # Invariants: anchors and edges live in the new index space; the
+    # odometry chain is consecutive over survivors.
+    assert pipe.lm_ref_kf.max() < len(pipe.keyframes)
+    odo = [(e["i"], e["j"]) for e in pipe.pose_edges
+           if e["kind"] == "odom"]
+    assert odo == [(k, k + 1) for k in range(len(pipe.keyframes) - 1)]
+    for e in pipe.pose_edges:
+        assert 0 <= e["i"] < len(pipe.keyframes)
+        assert 0 <= e["j"] < len(pipe.keyframes)
+
+    for i in range(half, n_frames):
+        pipe.process_frame(np.full((2, 2), i, np.float32))
+    tracked = [r["tracked"] for r in pipe.trajectory[half:]]
+    assert np.mean(tracked) > 0.8, tracked
+    ate = ate_rmse(pipe.positions(), world.positions, align=True,
+                   with_scale=True)
+    assert ate < 0.08, ate
