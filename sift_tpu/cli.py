@@ -310,6 +310,8 @@ def cmd_sfm(args) -> int:
         kw["pose_graph_sim3"] = True
     if getattr(args, "window", None):
         kw["window_size"] = args.window
+    if getattr(args, "compact_every", 0):
+        kw["compact_interval_kf"] = args.compact_every
     pipe = SfmPipeline(seq.intrinsics, PipelineConfig(**kw), logger=logger,
                        stereo_baseline=seq.baseline if use_stereo else None)
     use_depth = args.format == "tum" and not args.no_depth
@@ -434,6 +436,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "correction; implies --loop-closure)")
     ps.add_argument("--window", type=int, default=None,
                     help="sliding BA window size (keyframes)")
+    ps.add_argument("--compact-every", type=int, default=0, metavar="N",
+                    help="drop orphaned landmark rows every N keyframe "
+                         "promotions (map maintenance; 0 = off)")
     ps.set_defaults(func=cmd_sfm)
 
     pb = sub.add_parser("bench", help="run the benchmark")
