@@ -84,7 +84,7 @@ class MatchConfig:
     ratio: float = 0.8            # Lowe ratio test threshold
     mutual: bool = True           # require mutual nearest neighbours
     max_matches: int = 1024       # static output size (masked)
-    metric: str = "l2"            # "l2" | "dot"
+    metric: str = "l2"            # "l2" | "dot" | "l2q8" (int8 MXU path)
     # Top-2 backend: "auto" picks the streaming Pallas kernel on TPU for
     # large sets (the (Na, Nb) score matrix never touches HBM —
     # kernels/pallas/match.py); "xla" / "pallas" force a side.

@@ -166,3 +166,39 @@ def test_dot_metric_equals_l2_on_unit_descriptors():
     pairs_dot = set(zip(np.asarray(m_dot.idx_a)[vd].tolist(),
                         np.asarray(m_dot.idx_b)[vd].tolist()))
     assert pairs_l2 == pairs_dot
+
+
+def test_l2q8_quantized_matches_agree_with_f32():
+    """int8-quantized distances: same match set as f32 away from ratio
+    decision boundaries (planted correspondences on real-ish codes)."""
+    rng = np.random.default_rng(11)
+    nb = 512
+    b = rng.standard_normal((nb, 128)).astype(np.float32) * 2.0
+    sel = rng.permutation(nb)[:128]
+    a = np.concatenate([
+        b[sel] + 0.02 * rng.standard_normal((128, 128)),
+        rng.standard_normal((128, 128)) * 2.0,
+    ]).astype(np.float32)
+    va = np.ones(256, bool)
+    vb = np.ones(nb, bool)
+
+    ref = match_descriptors(jnp.asarray(a), jnp.asarray(va), jnp.asarray(b),
+                            jnp.asarray(vb), MatchConfig(max_matches=256))
+    q8 = match_descriptors(jnp.asarray(a), jnp.asarray(va), jnp.asarray(b),
+                           jnp.asarray(vb),
+                           MatchConfig(max_matches=256, metric="l2q8"))
+
+    rp = {(int(x), int(y)) for x, y in
+          zip(np.asarray(ref.idx_a)[np.asarray(ref.valid)],
+              np.asarray(ref.idx_b)[np.asarray(ref.valid)])}
+    qp = {(int(x), int(y)) for x, y in
+          zip(np.asarray(q8.idx_a)[np.asarray(q8.valid)],
+              np.asarray(q8.idx_b)[np.asarray(q8.valid)])}
+    assert len(rp) >= 100
+    # Quantization only flips decisions near the ratio boundary.
+    assert len(qp & rp) / len(rp) >= 0.97, (len(qp & rp), len(rp))
+    # Planted pairs are never cross-wired.
+    planted = dict(enumerate(sel))
+    for x, y in qp:
+        if x < 128:
+            assert y == planted[x]
