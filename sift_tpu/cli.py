@@ -55,6 +55,9 @@ def _add_reference_flags(p: argparse.ArgumentParser) -> None:
                         "SiftConfig's; raise when the saturation warning "
                         "prints — e.g. parrot.jpg needs ~4096 in parity "
                         "mode)")
+    p.add_argument("--rootsift", action="store_true",
+                   help="RootSIFT descriptors (lowe mode): L1-normalize + "
+                        "sqrt; L2 distance becomes the Hellinger kernel")
     p.add_argument("--no-viz", action="store_true",
                    help="skip writing <img>_orientation.png")
     p.add_argument("--time", action="store_true", help="print wall-clock timings")
@@ -66,6 +69,8 @@ def _sift_config(args):
     kw = {}
     if getattr(args, "max_keypoints_per_octave", None) is not None:
         kw["max_keypoints_per_octave"] = args.max_keypoints_per_octave
+    if getattr(args, "rootsift", False):
+        kw["rootsift"] = True
     return SiftConfig(
         sigma=args.sigma, k=args.k, octaves=args.octaves,
         dogs_per_epoch=args.dogs_per_epoch, subpixel=bool(args.subpixel),

@@ -52,6 +52,9 @@ class SiftConfig:
     edge_r: float = 10.0
     ori_peak_rel: float = 0.8
     descriptor_max_component: float = 0.2
+    # RootSIFT (lowe mode only): L1-normalize + sqrt instead of the final
+    # L2 renormalization — L2 on the result equals the Hellinger kernel.
+    rootsift: bool = False
 
     # Image value range. The reference operates on [0,255] grayscale floats
     # (vigra::importImage, main.cpp:52-54); parity mode requires this.

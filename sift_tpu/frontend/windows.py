@@ -194,5 +194,12 @@ def descriptors_from_windows(gx, gy, oy0, ox0, orientation_deg,
     norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
     desc = desc / jnp.maximum(norm, 1e-7)
     desc = jnp.minimum(desc, cfg.descriptor_max_component)
+    if cfg.rootsift:
+        # RootSIFT (Arandjelovic & Zisserman 2012): L1-normalize + sqrt,
+        # so L2 distance between descriptors equals the Hellinger kernel
+        # — materially better matching on repetitive texture for free.
+        # Components are non-negative by construction (histogram mass).
+        s = jnp.sum(desc, axis=-1, keepdims=True)
+        return jnp.sqrt(desc / jnp.maximum(s, 1e-7))
     norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
     return desc / jnp.maximum(norm, 1e-7)

@@ -128,3 +128,24 @@ class TestBatching:
         k0 = jax.jit(lambda x: extract(x, CFG))(imgs[0])
         np.testing.assert_allclose(np.asarray(kb.x[0]), np.asarray(k0.x),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_rootsift_descriptors():
+    """RootSIFT: unit L2 norm (since sum of sqrt^2 = L1 sum = 1),
+    non-negative, and matches on a shifted pair still work."""
+    from sift_tpu.config import MatchConfig
+    from sift_tpu.matching.matcher import match_descriptors
+
+    img = textured_image(128, 128, seed=3)
+    cfg = SiftConfig(mode="lowe", octaves=2, max_keypoints=128,
+                     max_keypoints_per_octave=128, rootsift=True)
+    kp1 = extract(jnp.asarray(img), cfg)
+    kp2 = extract(jnp.asarray(np.roll(img, 3, axis=1)), cfg)
+    v = np.asarray(kp1.valid)
+    assert v.sum() > 10
+    d = np.asarray(kp1.desc)[v]
+    assert (d >= 0).all()
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-3)
+    m = match_descriptors(kp1.desc, kp1.valid, kp2.desc, kp2.valid,
+                          MatchConfig(max_matches=128))
+    assert int(np.asarray(m.valid).sum()) > 10
