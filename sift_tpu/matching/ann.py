@@ -244,6 +244,9 @@ def match_descriptors_ann(desc_q: jnp.ndarray, valid_q: jnp.ndarray,
     idx_a indexes the query buffer, idx_b the index's database buffer —
     the same orientation as `match_descriptors(desc_q, ..., desc_db, ...)`.
     """
+    assert cfg.metric == "l2", \
+        f"IVF search computes squared-L2 only, got metric={cfg.metric!r}" \
+        " (normalize descriptors upstream for cosine semantics)"
     best, second, best_idx = search_ivf(index, desc_q, valid_q, ann)
     ok = best < (cfg.ratio * cfg.ratio) * second
     ok &= valid_q & (best < _BIG)
