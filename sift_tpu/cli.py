@@ -323,7 +323,12 @@ def cmd_sfm(args) -> int:
     t0 = time.perf_counter()
     # Batched extraction keeps the device busy (see
     # SfmPipeline.process_sequence); --batch 1 falls back to per-frame.
-    if args.batch > 1:
+    # Stereo batching needs EVERY right frame present (fixed chunk
+    # shapes); a sequence with missing right images — the loader yields
+    # gray_right=None per missing file — keeps the per-frame path, which
+    # degrades those frames to monocular tracking instead of crashing.
+    all_rights = use_stereo and all(f.gray_right is not None for f in seq)
+    if args.batch > 1 and (not use_stereo or all_rights):
         results = pipe.process_sequence(
             [f.gray for f in seq],
             depths=[f.depth for f in seq] if use_depth else None,

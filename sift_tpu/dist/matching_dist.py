@@ -62,16 +62,32 @@ def match_large_sharded(mesh: Mesh, desc_a, valid_a, desc_b, valid_b,
     multidevice tests assert mesh-shape invariance against the
     single-device matcher. Returns a replicated `Matches`.
     """
-    axes = mesh.axis_names
-    ndev = mesh.size
+    assert cfg.metric != "l2q8", \
+        "l2q8's per-tensor quantization scale is shard-local here, which " \
+        "breaks mesh-shape invariance — use metric='l2' for the " \
+        "distributed matcher"
     Na = desc_a.shape[0]
-    assert Na % ndev == 0, f"Na={Na} must divide device count {ndev}"
-    row_shard = NamedSharding(mesh, P(axes))
+    assert Na % mesh.size == 0, \
+        f"Na={Na} must divide device count {mesh.size}"
+    row_shard = NamedSharding(mesh, P(mesh.axis_names))
     rep = NamedSharding(mesh, P())
     desc_a = jax.device_put(desc_a, row_shard)
     valid_a = jax.device_put(valid_a, row_shard)
     desc_b = jax.device_put(desc_b, rep)
     valid_b = jax.device_put(valid_b, rep)
+    return _match_large_jit(mesh, cfg)(desc_a, valid_a, desc_b, valid_b)
+
+
+@functools.lru_cache(maxsize=32)
+def _match_large_jit(mesh: Mesh, cfg: MatchConfig):
+    """Compiled shard_map matcher, cached per (mesh, cfg).
+
+    Building a fresh jit(shard_map(...)) closure per call would re-trace
+    and re-compile EVERY invocation (~seconds each on remote backends);
+    the lru_cache returns the same callable so jax's own compilation
+    cache applies across calls.
+    """
+    axes = mesh.axis_names
 
     def shard_fn(da, va, db, vb):
         local_na = da.shape[0]
@@ -109,4 +125,4 @@ def match_large_sharded(mesh: Mesh, desc_a, valid_a, desc_b, valid_b,
     fn = shard_map(shard_fn, mesh=mesh,
                    in_specs=(P(axes), P(axes), P(), P()),
                    out_specs=P(), check_vma=False)
-    return jax.jit(fn)(desc_a, valid_a, desc_b, valid_b)
+    return jax.jit(fn)

@@ -87,7 +87,13 @@ def _kmeans(desc: jnp.ndarray, valid: jnp.ndarray, c: int,
     n, d = desc.shape
     gumbel = jax.random.uniform(key, (n,)) + jnp.where(valid, 0.0, -2.0)
     _, init_idx = lax.top_k(gumbel, c)
-    cent0 = desc[init_idx]
+    # Padding inertness: when n_valid < c the surplus init slots would
+    # otherwise seed from invalid rows' garbage contents — substitute the
+    # first valid descriptor (duplicate centroids are benign; invalid
+    # rows never assign to them thanks to the `big` mask below).
+    first_valid = desc[jnp.argmax(valid)]
+    desc_init = jnp.where(valid[:, None], desc, first_valid[None, :])
+    cent0 = desc_init[init_idx]
 
     big = jnp.where(valid, 0.0, _BIG)[:, None]     # mask rows out of both steps
 

@@ -49,11 +49,22 @@ def _quantize_int8(desc: jnp.ndarray):
     normalization, so a single per-tensor scale loses little; the MXU
     runs int8 x int8 -> int32 at twice bf16 rate and the quantized bank
     is 4x smaller in HBM.
+
+    Callers MUST zero invalid rows first (`_mask_rows`): the per-tensor
+    scale is a max over the whole buffer, so garbage in padding slots
+    would otherwise blow it up and flatten every valid descriptor to ~0
+    (the padding-inertness invariant, CLAUDE.md).
     """
     amax = jnp.maximum(jnp.max(jnp.abs(desc)), 1e-12)
     scale = amax / 127.0
     q = jnp.clip(jnp.round(desc / scale), -127, 127).astype(jnp.int8)
     return q, scale
+
+
+def _mask_rows(desc: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Zero invalid descriptor rows (keeps reductions over the buffer —
+    the l2q8 quantization scale — independent of padding contents)."""
+    return jnp.where(valid[:, None], desc, 0.0)
 
 
 def _distances(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
@@ -161,6 +172,9 @@ def top2_masked(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
                 jnp.linalg.norm(desc_b, axis=-1, keepdims=True), 1e-12)
         interp = jax.devices()[0].platform != "tpu"
         return streaming_top2(desc_a, valid_a, desc_b, valid_b, interp)
+    if cfg.metric == "l2q8":
+        desc_a = _mask_rows(desc_a, valid_a)
+        desc_b = _mask_rows(desc_b, valid_b)
     d = _distances(desc_a, desc_b, cfg.metric)
     d = jnp.where(valid_b[None, :], d, _BIG)
     d = jnp.where(valid_a[:, None], d, _BIG)
@@ -184,6 +198,9 @@ def match_descriptors(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
                       desc_a.shape[-1]):
         return _match_streaming(desc_a, valid_a, desc_b, valid_b, cfg)
 
+    if cfg.metric == "l2q8":
+        desc_a = _mask_rows(desc_a, valid_a)
+        desc_b = _mask_rows(desc_b, valid_b)
     d = _distances(desc_a, desc_b, cfg.metric)
     # Mask invalid rows and columns out of every reduction.
     d = jnp.where(valid_b[None, :], d, _BIG)
@@ -253,6 +270,9 @@ def match_descriptors_guided(desc_a, valid_a, desc_b, valid_b,
     uv_pred_a: (Na, 2) predicted positions; has_pred_a: (Na,) bool (rows
     without a prior match unrestricted); uv_b: (Nb, 2) keypoint positions.
     """
+    if cfg.metric == "l2q8":
+        desc_a = _mask_rows(desc_a, valid_a)
+        desc_b = _mask_rows(desc_b, valid_b)
     d = _distances(desc_a, desc_b, cfg.metric)
     d = jnp.where(valid_b[None, :], d, _BIG)
     d = jnp.where(valid_a[:, None], d, _BIG)

@@ -662,6 +662,9 @@ class SfmPipeline:
         assert rights is None or depths is None, "rights XOR depths"
         assert rights is None or self.stereo_baseline is not None, \
             "pass stereo_baseline= to SfmPipeline for stereo input"
+        assert rights is None or all(r is not None for r in rights), \
+            "stereo batching needs every right frame; route sequences " \
+            "with missing right images through per-frame process_frame"
         cfg = self.cfg
         # Stage-level jit (NOT defined here): a fresh jit wrapper per call
         # would re-trace/compile on every process_sequence invocation.

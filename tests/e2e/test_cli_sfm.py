@@ -49,3 +49,32 @@ def test_cli_sfm_tum(tum_dir, tmp_path, capsys, monkeypatch):
     assert ate < 0.05, out
     est = np.loadtxt(traj)
     assert est.shape == (N_FRAMES, 3)
+
+
+def test_cli_kitti_stereo_missing_right_falls_back(tmp_path, monkeypatch):
+    """A KITTI sequence with one missing right image must not crash the
+    batched stereo path — the CLI detects the gap and keeps the per-frame
+    route (which degrades those frames to monocular)."""
+    import sift_tpu.io.datasets  # noqa: F401  (import before building dirs)
+    from sift_tpu.io.image import save_image_gray
+
+    root = tmp_path / "kitti"
+    seq = root / "sequences" / "00"
+    (seq / "image_0").mkdir(parents=True)
+    (seq / "image_1").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    n = 6
+    for i in range(n):
+        img = (rng.random((64, 96)) * 255).astype(np.float32)
+        save_image_gray(str(seq / "image_0" / f"{i:06d}.png"), img)
+        if i != 3:                       # drop one right frame
+            save_image_gray(str(seq / "image_1" / f"{i:06d}.png"), img)
+    (seq / "calib.txt").write_text(
+        "P0: 100 0 48 0 0 100 32 0 0 0 1 0\n"
+        "P1: 100 0 48 -50 0 100 32 0 0 0 1 0\n")
+    (seq / "times.txt").write_text(
+        "".join(f"{i/10.0:.6f}\n" for i in range(n)))
+
+    rc = cli.main(["sfm", str(root), "--format", "kitti", "--stereo",
+                   "--batch", "4"])
+    assert rc in (0, 1)      # ran to completion (bootstrap may not succeed)

@@ -142,3 +142,27 @@ def test_query_tiling_invariant():
         outs.append(search_ivf(idx, jnp.asarray(q), jnp.asarray(vq), ann))
     for a, b in zip(outs[0], outs[1]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_build_padding_inert_even_when_clusters_exceed_valid():
+    """Index build with n_valid < n_clusters: flipping the contents of
+    invalid rows must not change centroids, buckets, or search results."""
+    rng = np.random.default_rng(6)
+    db = rng.standard_normal((64, 128)).astype(np.float32)
+    valid = np.arange(64) < 12           # fewer valid rows than clusters
+    q = rng.standard_normal((16, 128)).astype(np.float32)
+    ann = AnnConfig(n_clusters=16, nprobe=16, bucket_capacity=64,
+                    kmeans_iters=4)
+
+    outs = []
+    for poison in (0.0, 1e3):
+        db2 = db.copy()
+        db2[~valid] = poison
+        idx = build_ivf(jnp.asarray(db2), jnp.asarray(valid), ann)
+        best, second, arg = search_ivf(idx, jnp.asarray(q),
+                                       jnp.ones(16, bool), ann)
+        outs.append((np.asarray(idx.centroids), np.asarray(best),
+                     np.asarray(arg)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+    np.testing.assert_array_equal(outs[0][2], outs[1][2])

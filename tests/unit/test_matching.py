@@ -202,3 +202,30 @@ def test_l2q8_quantized_matches_agree_with_f32():
     for x, y in qp:
         if x < 128:
             assert y == planted[x]
+
+
+def test_l2q8_padding_inert():
+    """Garbage in invalid descriptor slots must not change l2q8 results
+    (the per-tensor quantization scale is the hazard — CLAUDE.md padding
+    invariant)."""
+    rng = np.random.default_rng(12)
+    a = rng.standard_normal((128, 128)).astype(np.float32)
+    b = rng.standard_normal((128, 128)).astype(np.float32)
+    va = np.arange(128) < 64
+    vb = np.arange(128) < 64
+    cfg = MatchConfig(max_matches=128, metric="l2q8")
+
+    ref = match_descriptors(jnp.asarray(a), jnp.asarray(va),
+                            jnp.asarray(b), jnp.asarray(vb), cfg)
+    a2, b2 = a.copy(), b.copy()
+    a2[64:] = 50.0                       # poison the padding rows
+    b2[64:] = -75.0
+    got = match_descriptors(jnp.asarray(a2), jnp.asarray(va),
+                            jnp.asarray(b2), jnp.asarray(vb), cfg)
+    np.testing.assert_array_equal(np.asarray(ref.valid),
+                                  np.asarray(got.valid))
+    m = np.asarray(ref.valid)
+    np.testing.assert_array_equal(np.asarray(ref.idx_a)[m],
+                                  np.asarray(got.idx_a)[m])
+    np.testing.assert_array_equal(np.asarray(ref.idx_b)[m],
+                                  np.asarray(got.idx_b)[m])
