@@ -24,14 +24,26 @@ def extract_batch_sharded(mesh: Mesh, imgs, cfg: SiftConfig,
     """Extract over (B, H, W) with B sharded across every mesh axis.
 
     B must be divisible by the total device count (pad with zero images and
-    ignore their outputs, or choose B accordingly).
+    ignore their outputs, or choose B accordingly). uint8 frames are cast
+    on device (1-byte host->device transfer, like the pipeline's chunk
+    upload path).
     """
-    axes = mesh.axis_names
-    img_sharding = NamedSharding(mesh, P(axes))       # batch over all axes
+    img_sharding = NamedSharding(mesh, P(mesh.axis_names))
     imgs = jax.device_put(imgs, img_sharding)
+    return _extract_sharded_jit(mesh, cfg, with_descriptors)(imgs)
+
+
+@functools.lru_cache(maxsize=16)
+def _extract_sharded_jit(mesh: Mesh, cfg: SiftConfig,
+                         with_descriptors: bool):
+    """Compiled sharded extractor, cached per (mesh, cfg) — a fresh jit
+    closure per call would re-trace every invocation (the SLAM loop calls
+    this once per chunk)."""
+    axes = mesh.axis_names
 
     @functools.partial(jax.jit, out_shardings=NamedSharding(mesh, P(axes)))
     def run(x):
+        x = x.astype(jax.numpy.float32)
         return jax.vmap(lambda im: extract(im, cfg, with_descriptors))(x)
 
-    return run(imgs)
+    return run

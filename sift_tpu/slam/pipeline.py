@@ -117,16 +117,23 @@ class SfmPipeline:
 
     def __init__(self, intrinsics, cfg: Optional[PipelineConfig] = None,
                  seed: int = 0, logger: Optional[MetricsLogger] = None,
-                 frontend=None, stereo_baseline: Optional[float] = None):
+                 frontend=None, stereo_baseline: Optional[float] = None,
+                 mesh=None):
         """`frontend`: optional callable gray -> Keypoints replacing the SIFT
         extractor (tests inject synthetic keypoints; a learned frontend could
         drop in the same way). `stereo_baseline`: meters, enables the
-        rectified-stereo depth path (`process_frame(..., right=...)`)."""
+        rectified-stereo depth path (`process_frame(..., right=...)`).
+        `mesh`: optional `jax.sharding.Mesh` — `process_sequence` chunk
+        extraction (the FLOPs-dominant stage) runs data-parallel across it
+        (`dist/frontend_dist.py`); the chunk `batch` must divide the device
+        count. Tracking/BA dispatches consume the sharded keypoint buffers
+        directly (XLA inserts the reshards)."""
         self.cfg = cfg or PipelineConfig()
         self.K = np.asarray(intrinsics, np.float32)    # fx, fy, cx, cy
         self.logger = logger
         self.frontend = frontend
         self.stereo_baseline = stereo_baseline
+        self.mesh = mesh
         self._key = jax.random.PRNGKey(seed)
 
         self.keyframes: List[Keyframe] = []
@@ -182,7 +189,17 @@ class SfmPipeline:
             return jax.vmap(
                 lambda im: extract(im, cfg.sift, with_descriptors=True))(imgs)
 
-        self._jit_extract_batch = _extract_batch
+        if self.mesh is not None:
+            from sift_tpu.dist.frontend_dist import extract_batch_sharded
+            mesh = self.mesh
+
+            def _extract_batch_mesh(imgs):
+                return extract_batch_sharded(mesh, imgs, cfg.sift,
+                                             with_descriptors=True)
+
+            self._jit_extract_batch = _extract_batch_mesh
+        else:
+            self._jit_extract_batch = _extract_batch
 
         @jax.jit
         def _match(da, va, db, vb):

@@ -314,3 +314,25 @@ def test_stereo_batched_sequence_matches_per_frame(frames):
     gt = np.stack([[STEP * i, 0.0, 0.0] for i in range(N_FRAMES)])
     ate = ate_rmse(pipe_b.positions(), gt, align=True, with_scale=False)
     assert ate < 0.03, ate
+
+
+@pytest.mark.slow
+def test_mesh_sharded_extraction_identical_trajectory(frames):
+    """SfmPipeline(mesh=...): chunk extraction data-parallel across an
+    8-virtual-device mesh; same ATE bound as the single-device run.
+    (Raw positions can differ: sharded extraction has ~1e-5 float noise,
+    which can shift WHICH frame passes the bootstrap gate and therefore
+    the monocular gauge — the same caveat as
+    test_process_sequence_matches_per_frame.)"""
+    from sift_tpu.config import MeshConfig
+    from sift_tpu.dist.mesh import make_mesh
+
+    seq = list(frames)
+    gt = np.stack([[STEP * i, 0.0, 0.0] for i in range(N_FRAMES)])
+    for mesh in (None, make_mesh(MeshConfig(data=4, model=2))):
+        cfg = _cfg().replace(chunked_tracking=True, ba_async=True)
+        pipe = SfmPipeline(INTR, cfg, mesh=mesh)
+        pipe.process_sequence(seq, batch=8)
+        assert pipe.state == "tracking"
+        ate = ate_rmse(pipe.positions(), gt, align=True, with_scale=True)
+        assert ate < 0.05, (mesh, ate)
