@@ -348,6 +348,10 @@ def cmd_sfm(args) -> int:
     print(f"{len(seq)} frames in {dt:.1f}s ({len(seq)/dt:.1f} fps), "
           f"{len(pipe.keyframes)} keyframes, "
           f"{pipe.landmarks.shape[0]} landmarks")
+    if getattr(args, "global_ba", False):
+        stats = pipe.run_global_ba()
+        print(f"global BA: {stats['n_cams']} cams / {stats['n_lms']} lms / "
+              f"{stats['n_obs']} obs, reproj RMSE {stats['rmse']:.3f} px")
 
     gt = seq.gt_positions()
     if gt is not None and len(pipe.trajectory) == gt.shape[0]:
@@ -449,6 +453,9 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--compact-every", type=int, default=0, metavar="N",
                     help="drop orphaned landmark rows every N keyframe "
                          "promotions (map maintenance; 0 = off)")
+    ps.add_argument("--global-ba", action="store_true",
+                    help="run full-map bundle adjustment after the "
+                         "sequence (final offline refinement)")
     ps.set_defaults(func=cmd_sfm)
 
     pb = sub.add_parser("bench", help="run the benchmark")

@@ -95,6 +95,11 @@ def _pgo_sim3_jit(graph):
     return optimize_pose_graph_sim3(graph, iterations=15)
 
 
+# Module-level so repeated run_global_ba calls reuse jax's compilation
+# cache (a per-call jax.jit wrapper would re-trace every invocation).
+_global_ba_jit = jax.jit(run_ba, static_argnums=(7,))
+
+
 @jax.jit
 def _pack_kp_meta(kp: Keypoints) -> jnp.ndarray:
     """(4, N) f32: x, y, octave, valid — one host read instead of four."""
@@ -1498,6 +1503,87 @@ class SfmPipeline:
                                 inliers=n_inl, rmse=float(rmse))
             self._run_pose_graph()
             break          # at most one closure per keyframe
+
+    def run_global_ba(self, mesh=None, cfg_ba=None,
+                      fix_first_n: int = 2) -> Dict[str, float]:
+        """Full-map bundle adjustment: every keyframe pose and landmark.
+
+        The online loop only ever solves the sliding window
+        (`_run_window_ba`) plus pose-graph corrections; this is the
+        offline/final refinement over the whole reconstruction. With
+        `mesh`, observations run data-sharded and landmark blocks
+        model-sharded through `dist.run_ba_sharded` (identical math —
+        the multidevice suite asserts psum'd-vs-single equivalence).
+
+        Buffers are padded to coarse multiples so repeated calls on a
+        growing map hit a handful of compiled shapes, not one per call.
+        Updates keyframe poses and landmarks in place; returns
+        {"rmse": ..., "n_obs": ..., "n_cams": ..., "n_lms": ...}.
+        """
+        self._flush_ba()
+        C = len(self.keyframes)
+        if C < 2:
+            return dict(rmse=0.0, n_obs=0, n_cams=C, n_lms=0)
+
+        oc, ol, ouv = [], [], []
+        for ci, kf in enumerate(self.keyframes):
+            slots = np.nonzero(kf.kp_lm >= 0)[0]
+            oc.append(np.full(slots.shape[0], ci, np.int32))
+            ol.append(kf.kp_lm[slots])
+            ouv.append(np.stack([kf.kp["u"][slots], kf.kp["v"][slots]], -1))
+        oc = np.concatenate(oc)
+        ol = np.concatenate(ol).astype(np.int64)
+        ouv = np.concatenate(ouv).astype(np.float32)
+        uniq, inv = np.unique(ol, return_inverse=True)
+        L, O = uniq.shape[0], oc.shape[0]
+        if L < 8 or O < 24:
+            return dict(rmse=0.0, n_obs=O, n_cams=C, n_lms=L)
+
+        def pad_to(n, mult):
+            return ((n + mult - 1) // mult) * mult
+
+        ndev = mesh.size if mesh is not None else 1
+        Ccap = pad_to(C, 8)
+        Lcap = pad_to(L, max(512, ndev))
+        Ocap = pad_to(O, max(2048, ndev))
+
+        poses = np.zeros((Ccap, 6), np.float32)
+        poses[:C] = np.stack([kf.pose for kf in self.keyframes])
+        lms = np.zeros((Lcap, 3), np.float32)
+        lms[:L] = self.landmarks[uniq]
+        obs_cam = np.zeros(Ocap, np.int32)
+        obs_lm = np.zeros(Ocap, np.int32)
+        obs_uv = np.zeros((Ocap, 2), np.float32)
+        obs_valid = np.zeros(Ocap, bool)
+        obs_cam[:O] = oc
+        obs_lm[:O] = inv
+        obs_uv[:O] = ouv
+        obs_valid[:O] = True
+        fixed = np.zeros(Ccap, bool)
+        fixed[:min(fix_first_n, C)] = True
+        fixed[C:] = True                     # padding cameras pinned
+
+        bcfg = cfg_ba if cfg_ba is not None else self.cfg.ba
+        args = (jnp.asarray(poses), jnp.asarray(self.K), jnp.asarray(lms),
+                jnp.asarray(obs_cam), jnp.asarray(obs_lm),
+                jnp.asarray(obs_uv), jnp.asarray(obs_valid))
+        if mesh is not None:
+            from sift_tpu.dist.ba_dist import run_ba_sharded
+            st = run_ba_sharded(mesh, *args, cfg=bcfg,
+                                fixed_cam_mask=jnp.asarray(fixed))
+        else:
+            st = _global_ba_jit(*args, bcfg, jnp.asarray(fixed))
+        new_poses = np.asarray(st.poses)
+        new_lms = np.asarray(st.landmarks)
+        for ci, kf in enumerate(self.keyframes):
+            kf.pose = new_poses[ci].astype(np.float32)
+        self.landmarks[uniq] = new_lms[:L].astype(np.float32)
+        self._map_version += 1
+        rmse = float(st.rmse)
+        if self.logger is not None:
+            self.logger.log("global_ba", rmse=rmse, n_obs=O, n_cams=C,
+                            n_lms=L)
+        return dict(rmse=rmse, n_obs=int(O), n_cams=int(C), n_lms=int(L))
 
     def cull_keyframes(self, redundancy: float = 0.9,
                        min_other_refs: int = 3) -> Dict[str, int]:

@@ -501,3 +501,39 @@ def test_keyframe_culling_keeps_tracking(world):
     ate = ate_rmse(pipe.positions(), world.positions, align=True,
                    with_scale=True)
     assert ate < 0.08, ate
+
+
+@pytest.mark.parametrize("use_mesh", [False, True])
+def test_global_ba_refines_whole_map(world, use_mesh):
+    """run_global_ba optimizes every keyframe + landmark (optionally
+    mesh-sharded); the trajectory ATE must not get worse and the solve
+    must actually cover the whole map."""
+    pipe = _pipeline(world)
+    n_frames = len(world.poses)
+    for i in range(n_frames):
+        pipe.process_frame(np.full((2, 2), i, np.float32))
+    gt = world.positions
+    kf_frames = [kf.frame_idx for kf in pipe.keyframes]
+    kf_gt = gt[kf_frames]
+
+    def kf_ate(p):
+        pos = np.stack([np.asarray(
+            __import__("sift_tpu.geometry.lie_np",
+                       fromlist=["se3_exp"]).se3_exp(kf.pose)[1])
+            for kf in p.keyframes])
+        return ate_rmse(pos, kf_gt, align=True, with_scale=True)
+
+    before = kf_ate(pipe)
+    mesh = None
+    if use_mesh:
+        from sift_tpu.config import MeshConfig
+        from sift_tpu.dist.mesh import make_mesh
+        mesh = make_mesh(MeshConfig(data=4, model=2))
+    stats = pipe.run_global_ba(mesh=mesh)
+    after = kf_ate(pipe)
+
+    assert stats["n_cams"] == len(pipe.keyframes)
+    assert stats["n_obs"] > 100 and stats["n_lms"] > 100
+    assert np.isfinite(stats["rmse"]) and stats["rmse"] < 2.0
+    assert np.isfinite(pipe.landmarks).all()
+    assert after <= before * 1.05 + 1e-4, (before, after)
