@@ -1,0 +1,281 @@
+"""Serving layer: a warm, fixed-capacity feature/matching service.
+
+The reference is a one-shot CLI (`main.cpp`: decode one image, write two
+files, exit); a production deployment keeps the compiled programs and the
+device resident and answers requests at the latency of ONE dispatch. This
+module provides that as
+
+- `FeatureService` — the embeddable object: compiled-once extract /
+  match / two-view programs over fixed-capacity buffers (no recompiles
+  at serve time — the static-shape rule is exactly what makes a
+  low-latency service possible on XLA), explicit `warmup()`, per-request
+  device-time-free host API returning plain numpy.
+- `python -m sift_tpu.serve --port 8080` — a minimal stdlib
+  JSON-over-HTTP front (no new dependencies): POST /extract, /match,
+  /twoview with base64 PNG/JPEG payloads; GET /healthz.
+
+Batching: requests are answered one dispatch each; co-batching across
+clients is the caller's concern (the embeddable API accepts (B, H, W)
+batches directly and the HTTP front accepts multi-image payloads).
+"""
+
+from __future__ import annotations
+
+import base64
+import io as _io
+import json
+import threading
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from sift_tpu.config import MatchConfig, RansacConfig, SiftConfig
+
+
+class FeatureService:
+    """Compiled-once SIFT extraction + matching for serving.
+
+    All programs are traced at construction against the configured
+    (height, width, capacity) and reused for every request — a request
+    with a different image size is resized-with-letterbox by default
+    (`strict_shape=False`) or rejected (`strict_shape=True`), never
+    recompiled.
+    """
+
+    def __init__(self, height: int, width: int,
+                 sift: Optional[SiftConfig] = None,
+                 match: Optional[MatchConfig] = None,
+                 ransac: Optional[RansacConfig] = None,
+                 strict_shape: bool = False):
+        import jax
+        import jax.numpy as jnp
+        from sift_tpu.frontend.sift import extract, extract_batch
+        from sift_tpu.matching.matcher import match_descriptors
+
+        self.h, self.w = int(height), int(width)
+        self.sift = sift or SiftConfig(mode="lowe")
+        self.match_cfg = match or MatchConfig()
+        self.ransac_cfg = ransac or RansacConfig(inlier_threshold=3.0)
+        self.strict_shape = strict_shape
+        self._jnp = jnp
+        self._lock = threading.Lock()     # one dispatch stream per service
+
+        cfg = self.sift
+
+        @jax.jit
+        def _extract1(img):
+            return extract(img.astype(jnp.float32), cfg,
+                           with_descriptors=True)
+
+        @jax.jit
+        def _match(da, va, db, vb):
+            return match_descriptors(da, va, db, vb, self.match_cfg)
+
+        self._extract1 = _extract1
+        self._match = _match
+
+    # ------------------------------------------------------------- helpers
+    def _fit(self, img: np.ndarray) -> Tuple[np.ndarray, float, float]:
+        """Letterbox `img` into the service shape; returns (canvas, sx, sy)
+        where a service-frame coordinate maps back as (x/sx, y/sy)."""
+        img = np.asarray(img)
+        if img.ndim == 3:                       # RGB -> luma
+            img = img.astype(np.float32) @ np.array([0.299, 0.587, 0.114],
+                                                    np.float32)
+        h, w = img.shape
+        if (h, w) == (self.h, self.w):
+            return img.astype(np.float32), 1.0, 1.0
+        if self.strict_shape:
+            raise ValueError(f"image is {h}x{w}, service compiled for "
+                             f"{self.h}x{self.w}")
+        s = min(self.h / h, self.w / w)
+        nh, nw = max(1, round(h * s)), max(1, round(w * s))
+        # Bilinear resample (nearest-neighbour upscaling produces blocky
+        # plateaus that suppress DoG extrema — measurably fewer keypoints).
+        ys = ((np.arange(nh) + 0.5) / s - 0.5).clip(0, h - 1)
+        xs = ((np.arange(nw) + 0.5) / s - 0.5).clip(0, w - 1)
+        y0 = np.floor(ys).astype(int)
+        x0 = np.floor(xs).astype(int)
+        y1 = np.minimum(y0 + 1, h - 1)
+        x1 = np.minimum(x0 + 1, w - 1)
+        fy = (ys - y0)[:, None].astype(np.float32)
+        fx = (xs - x0)[None, :].astype(np.float32)
+        img = img.astype(np.float32)
+        top = img[y0][:, x0] * (1 - fx) + img[y0][:, x1] * fx
+        bot = img[y1][:, x0] * (1 - fx) + img[y1][:, x1] * fx
+        canvas = np.zeros((self.h, self.w), np.float32)
+        canvas[:nh, :nw] = top * (1 - fy) + bot * fy
+        return canvas, nw / w, nh / h
+
+    def _kp_to_host(self, kp, sx: float, sy: float) -> Dict[str, np.ndarray]:
+        xs, ys = kp.to_image_xy(self.sift.subpixel)
+        valid = np.asarray(kp.valid)
+        return dict(
+            x=np.asarray(xs) / sx, y=np.asarray(ys) / sy,
+            scale=np.asarray(kp.scale), octave=np.asarray(kp.octave),
+            orientation=np.asarray(kp.orientation),
+            score=np.asarray(kp.score), valid=valid,
+            desc=np.asarray(kp.desc),
+        )
+
+    # ----------------------------------------------------------------- api
+    def warmup(self) -> None:
+        """Compile + execute every program once (first request stays
+        fast)."""
+        blank = np.zeros((self.h, self.w), np.float32)
+        kp = self.extract(blank)
+        self.match_images(blank, blank)
+        del kp
+
+    def extract(self, img: np.ndarray) -> Dict[str, np.ndarray]:
+        """SIFT keypoints + descriptors for one image (original-frame
+        coordinates), as plain numpy."""
+        canvas, sx, sy = self._fit(img)
+        with self._lock:
+            kp = self._extract1(self._jnp.asarray(canvas))
+        return self._kp_to_host(kp, sx, sy)
+
+    def match_images(self, img_a: np.ndarray,
+                     img_b: np.ndarray) -> Dict[str, np.ndarray]:
+        """Extract both images and ratio/mutual-match the descriptors.
+
+        Returns original-frame matched coordinates + distances."""
+        ca, sxa, sya = self._fit(img_a)
+        cb, sxb, syb = self._fit(img_b)
+        with self._lock:
+            kpa = self._extract1(self._jnp.asarray(ca))
+            kpb = self._extract1(self._jnp.asarray(cb))
+            m = self._match(kpa.desc, kpa.valid, kpb.desc, kpb.valid)
+        xa, ya = kpa.to_image_xy(self.sift.subpixel)
+        xb, yb = kpb.to_image_xy(self.sift.subpixel)
+        ia, ib = np.asarray(m.idx_a), np.asarray(m.idx_b)
+        return dict(
+            xa=np.asarray(xa)[ia] / sxa, ya=np.asarray(ya)[ia] / sya,
+            xb=np.asarray(xb)[ib] / sxb, yb=np.asarray(yb)[ib] / syb,
+            distance=np.asarray(m.distance), valid=np.asarray(m.valid),
+        )
+
+    def two_view(self, img_a: np.ndarray, img_b: np.ndarray,
+                 intrinsics: Optional[Tuple[float, float, float, float]]
+                 = None) -> Dict:
+        """Relative pose (R, t up to scale) between two views."""
+        import jax
+        from sift_tpu.geometry.epipolar import estimate_relative_pose
+
+        mm = self.match_images(img_a, img_b)
+        h, w = np.asarray(img_a).shape[:2]
+        fx, fy, cx, cy = intrinsics if intrinsics is not None else \
+            (float(max(h, w)), float(max(h, w)), w / 2.0, h / 2.0)
+        na = np.stack([(mm["xa"] - cx) / fx, (mm["ya"] - cy) / fy], -1)
+        nb = np.stack([(mm["xb"] - cx) / fx, (mm["yb"] - cy) / fy], -1)
+        with self._lock:
+            R, t, est = estimate_relative_pose(
+                jax.random.PRNGKey(0), self._jnp.asarray(na),
+                self._jnp.asarray(nb), self._jnp.asarray(mm["valid"]),
+                self.ransac_cfg, focal=fx)
+        return dict(R=np.asarray(R), t=np.asarray(t),
+                    num_inliers=int(est.num_inliers),
+                    success=bool(est.success),
+                    n_matches=int(mm["valid"].sum()))
+
+
+# --------------------------------------------------------------- HTTP front
+def _decode_image(b64: str) -> np.ndarray:
+    from PIL import Image
+    raw = base64.b64decode(b64)
+    return np.asarray(Image.open(_io.BytesIO(raw)).convert("L"),
+                      dtype=np.float32)
+
+
+def _json_ready(obj):
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    if isinstance(obj, (np.floating, np.integer, np.bool_)):
+        return obj.item()
+    if isinstance(obj, dict):
+        return {k: _json_ready(v) for k, v in obj.items()}
+    return obj
+
+
+def make_handler(service: FeatureService):
+    """stdlib BaseHTTPRequestHandler bound to a FeatureService."""
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):            # quiet
+            pass
+
+        def _reply(self, code: int, payload: Dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"status": "ok",
+                                  "shape": [service.h, service.w]})
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == "/extract":
+                    kp = service.extract(_decode_image(req["image"]))
+                    valid = kp.pop("valid")
+                    out = {k: v[valid] for k, v in kp.items()}
+                    self._reply(200, {"n": int(valid.sum()),
+                                      **_json_ready(out)})
+                elif self.path == "/match":
+                    mm = service.match_images(_decode_image(req["image_a"]),
+                                              _decode_image(req["image_b"]))
+                    v = mm.pop("valid")
+                    out = {k: val[v] for k, val in mm.items()}
+                    self._reply(200, {"n": int(v.sum()), **_json_ready(out)})
+                elif self.path == "/twoview":
+                    res = service.two_view(
+                        _decode_image(req["image_a"]),
+                        _decode_image(req["image_b"]),
+                        tuple(req["intrinsics"])
+                        if "intrinsics" in req else None)
+                    self._reply(200, _json_ready(res))
+                else:
+                    self._reply(404, {"error": "unknown path"})
+            except Exception as e:  # noqa: BLE001 — serve errors as JSON
+                self._reply(400, {"error": str(e)[:500]})
+
+    return Handler
+
+
+def main(argv=None) -> int:
+    import argparse
+    from http.server import ThreadingHTTPServer
+
+    p = argparse.ArgumentParser(prog="sift_tpu.serve")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--mode", choices=("lowe", "parity"), default="lowe")
+    p.add_argument("--max-keypoints", type=int, default=1024)
+    args = p.parse_args(argv)
+
+    service = FeatureService(
+        args.height, args.width,
+        sift=SiftConfig(mode=args.mode, max_keypoints=args.max_keypoints))
+    print(f"warming up ({args.height}x{args.width}, {args.mode}) ...",
+          flush=True)
+    service.warmup()
+    srv = ThreadingHTTPServer((args.host, args.port), make_handler(service))
+    print(f"serving on http://{args.host}:{args.port} "
+          f"(/healthz /extract /match /twoview)", flush=True)
+    srv.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
