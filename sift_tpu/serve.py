@@ -40,13 +40,20 @@ class FeatureService:
     with a different image size is resized-with-letterbox by default
     (`strict_shape=False`) or rejected (`strict_shape=True`), never
     recompiled.
+
+    `batch_window_ms > 0` enables request co-batching: concurrent
+    `extract()` calls within the window share ONE `extract_batch`
+    dispatch of `max_batch` slots (what actually fills the MXU — eight
+    VGA extractions cost barely more than one). Single callers pay at
+    most the window in added latency.
     """
 
     def __init__(self, height: int, width: int,
                  sift: Optional[SiftConfig] = None,
                  match: Optional[MatchConfig] = None,
                  ransac: Optional[RansacConfig] = None,
-                 strict_shape: bool = False):
+                 strict_shape: bool = False,
+                 batch_window_ms: float = 0.0, max_batch: int = 8):
         import jax
         import jax.numpy as jnp
         from sift_tpu.frontend.sift import extract, extract_batch
@@ -68,11 +75,22 @@ class FeatureService:
                            with_descriptors=True)
 
         @jax.jit
+        def _extract_batch(imgs):
+            return jax.vmap(lambda im: extract(
+                im.astype(jnp.float32), cfg, with_descriptors=True))(imgs)
+
+        @jax.jit
         def _match(da, va, db, vb):
             return match_descriptors(da, va, db, vb, self.match_cfg)
 
         self._extract1 = _extract1
+        self._extract_batch = _extract_batch
         self._match = _match
+        self._batcher = (_RequestBatcher(self, batch_window_ms / 1e3,
+                                         max_batch)
+                         if batch_window_ms > 0 else None)
+        self.dispatch_stats = {"extract_dispatches": 0,
+                               "extract_requests": 0}
 
     # ------------------------------------------------------------- helpers
     def _fit(self, img: np.ndarray) -> Tuple[np.ndarray, float, float]:
@@ -131,8 +149,13 @@ class FeatureService:
         """SIFT keypoints + descriptors for one image (original-frame
         coordinates), as plain numpy."""
         canvas, sx, sy = self._fit(img)
-        with self._lock:
-            kp = self._extract1(self._jnp.asarray(canvas))
+        self.dispatch_stats["extract_requests"] += 1
+        if self._batcher is not None:
+            kp = self._batcher.submit(canvas)
+        else:
+            with self._lock:
+                self.dispatch_stats["extract_dispatches"] += 1
+                kp = self._extract1(self._jnp.asarray(canvas))
         return self._kp_to_host(kp, sx, sy)
 
     def match_images(self, img_a: np.ndarray,
@@ -177,6 +200,71 @@ class FeatureService:
                     num_inliers=int(est.num_inliers),
                     success=bool(est.success),
                     n_matches=int(mm["valid"].sum()))
+
+
+class _RequestBatcher:
+    """Co-batches concurrent extract requests into one padded dispatch.
+
+    A request parks its canvas in the pending list; whoever arrives first
+    becomes the leader, waits `window` seconds for followers, then runs
+    ONE `extract_batch` over up to `max_batch` canvases (padded with the
+    first canvas; padding outputs are dropped) and hands each waiter its
+    slot. Classic serve-side dynamic batching, sized to what fills the
+    MXU.
+    """
+
+    def __init__(self, service: "FeatureService", window: float,
+                 max_batch: int):
+        import queue
+        self.service = service
+        self.window = window
+        self.max_batch = max_batch
+        self._q: "queue.Queue" = queue.Queue()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, canvas: np.ndarray):
+        ev = threading.Event()
+        box: Dict = {}
+        self._q.put((canvas, ev, box))
+        ev.wait()
+        if "error" in box:
+            raise box["error"]
+        return box["kp"]
+
+    def _run(self):
+        import queue
+        import time as _time
+        while True:
+            batch = [self._q.get()]          # block for the first request
+            deadline = _time.monotonic() + self.window
+            while len(batch) < self.max_batch:
+                left = deadline - _time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=left))
+                except queue.Empty:
+                    break
+            try:
+                self._dispatch(batch)
+            except Exception as e:  # noqa: BLE001 — fail the waiters, not us
+                for _, ev, box in batch:
+                    box["error"] = e
+                    ev.set()
+
+    def _dispatch(self, batch):
+        import jax
+        svc = self.service
+        canvases = [c for c, _, _ in batch]
+        pad = self.max_batch - len(canvases)
+        imgs = np.stack(canvases + [canvases[0]] * pad)
+        with svc._lock:
+            svc.dispatch_stats["extract_dispatches"] += 1
+            kp = svc._extract_batch(svc._jnp.asarray(imgs))
+        for i, (_, ev, box) in enumerate(batch):
+            box["kp"] = jax.tree.map(lambda a, i=i: a[i], kp)
+            ev.set()
 
 
 # --------------------------------------------------------------- HTTP front
@@ -262,11 +350,17 @@ def main(argv=None) -> int:
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--mode", choices=("lowe", "parity"), default="lowe")
     p.add_argument("--max-keypoints", type=int, default=1024)
+    p.add_argument("--batch-window-ms", type=float, default=2.0,
+                   help="co-batch concurrent /extract requests arriving "
+                        "within this window into one batched dispatch "
+                        "(0 = per-request dispatches)")
+    p.add_argument("--max-batch", type=int, default=8)
     args = p.parse_args(argv)
 
     service = FeatureService(
         args.height, args.width,
-        sift=SiftConfig(mode=args.mode, max_keypoints=args.max_keypoints))
+        sift=SiftConfig(mode=args.mode, max_keypoints=args.max_keypoints),
+        batch_window_ms=args.batch_window_ms, max_batch=args.max_batch)
     print(f"warming up ({args.height}x{args.width}, {args.mode}) ...",
           flush=True)
     service.warmup()

@@ -111,3 +111,35 @@ def test_http_front(service, img):
             assert e.code == 400
     finally:
         srv.shutdown()
+
+
+def test_request_cobatching(img):
+    """Concurrent extract() calls within the batch window share one
+    batched dispatch; results equal the unbatched service's."""
+    sift = SiftConfig(mode="lowe", octaves=3, max_keypoints=256,
+                      max_keypoints_per_octave=256)
+    plain = FeatureService(H, W, sift=sift)
+    batched = FeatureService(H, W, sift=sift, batch_window_ms=150,
+                             max_batch=8)
+    imgs = [np.roll(img, i, axis=1) for i in range(6)]
+    ref = [plain.extract(im) for im in imgs]
+
+    out = [None] * len(imgs)
+
+    def worker(i):
+        out[i] = batched.extract(imgs[i])
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(imgs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    st = batched.dispatch_stats
+    assert st["extract_requests"] == 6
+    assert st["extract_dispatches"] < 6, st   # co-batching happened
+    for r, o in zip(ref, out):
+        np.testing.assert_array_equal(r["valid"], o["valid"])
+        v = r["valid"]
+        np.testing.assert_allclose(r["x"][v], o["x"][v], atol=1e-4)
+        np.testing.assert_allclose(r["desc"][v], o["desc"][v], atol=2e-3)
