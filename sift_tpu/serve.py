@@ -56,7 +56,7 @@ class FeatureService:
                  batch_window_ms: float = 0.0, max_batch: int = 8):
         import jax
         import jax.numpy as jnp
-        from sift_tpu.frontend.sift import extract, extract_batch
+        from sift_tpu.frontend.sift import extract
         from sift_tpu.matching.matcher import match_descriptors
 
         self.h, self.w = int(height), int(width)
