@@ -14,9 +14,10 @@ module provides that as
   JSON-over-HTTP front (no new dependencies): POST /extract, /match,
   /twoview with base64 PNG/JPEG payloads; GET /healthz.
 
-Batching: requests are answered one dispatch each; co-batching across
-clients is the caller's concern (the embeddable API accepts (B, H, W)
-batches directly and the HTTP front accepts multi-image payloads).
+Batching: the embeddable API accepts (B, H, W) batches directly and the
+HTTP front accepts multi-image payloads; with `batch_window_ms > 0`
+concurrent single-image `extract()` requests are additionally co-batched
+into one padded `extract_batch` dispatch (see the class docstring).
 """
 
 from __future__ import annotations

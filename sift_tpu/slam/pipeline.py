@@ -469,6 +469,50 @@ class SfmPipeline:
         self._jit_kf_track = {True: _make_kf_track(True),
                               False: _make_kf_track(False)}
 
+        @jax.jit
+        def _reloc_probe(key, desc_bank, desc_q, packed):
+            """All relocalization candidates probed in ONE dispatch
+            (`_kf_track_body` unguided, vmapped over the candidate bank).
+
+            A lost frame used to pay one fused dispatch + ~8 uploads + one
+            packed read PER candidate, sequentially — the worst case
+            (nothing matches, which is exactly what a blackout looks like)
+            paid all `reloc_candidates` of them every frame. The batched
+            probe pays 2 uploads + 1 read regardless.
+
+            `packed` (host f32, one upload): [valid_bank K*N | lms_bank
+            K*N*3 | has_bank K*N | uv_bank K*2N | poses K*6 | valid_q N |
+            uv_q 2N]. Returns (K, 8*Mcap + 8) `_kf_track_body` payloads;
+            padded candidate slots repeat candidate 0 and are never
+            decoded host-side.
+            """
+            Kc, N = desc_bank.shape[0], desc_bank.shape[1]
+            off = 0
+            valid_bank = packed[off:off + Kc * N].reshape(Kc, N) > 0.5
+            off += Kc * N
+            lms_bank = packed[off:off + Kc * N * 3].reshape(Kc, N, 3)
+            off += Kc * N * 3
+            has_bank = packed[off:off + Kc * N].reshape(Kc, N) > 0.5
+            off += Kc * N
+            uv_bank = packed[off:off + Kc * 2 * N].reshape(Kc, N, 2)
+            off += Kc * 2 * N
+            poses = packed[off:off + Kc * 6].reshape(Kc, 6)
+            off += Kc * 6
+            valid_q = packed[off:off + N] > 0.5
+            off += N
+            uv_q = packed[off:off + 2 * N].reshape(N, 2)
+            keys = jax.random.split(key, Kc)
+
+            def one(k_key, pose_k, desc_k, valid_k, lms_k, has_k, uv_k):
+                return _kf_track_body(False, k_key, pose_k, pose_k,
+                                      desc_k, valid_k, lms_k, has_k, uv_k,
+                                      desc_q, valid_q, uv_q)
+
+            return jax.vmap(one)(keys, poses, desc_bank, valid_bank,
+                                 lms_bank, has_bank, uv_bank)
+
+        self._jit_reloc_probe = _reloc_probe
+
         fx, fy, cx, cy = self.K
         focal = float((fx + fy) * 0.5)
 
@@ -520,6 +564,62 @@ class SfmPipeline:
                                       delta=cfg.ransac.inlier_threshold)
 
         @jax.jit
+        def _loop_probe(key, new_pose, desc_bank, desc_q, packed, lm_table):
+            """All loop-closure candidates probed in ONE dispatch.
+
+            Sequential probing paid ~2 dispatches + several reads/uploads
+            *per candidate* (match pytree read, localize upload+read) — on
+            remote backends that is hundreds of ms of pure RTT per
+            promotion; the fused probe pays 2 uploads + 1 packed read
+            regardless of the candidate count.
+
+            `packed` (host f32, one upload): [kp_lm_bank K*N | valid_bank
+            K*N | uv_q 2N | valid_q N | cand_ok K]. Landmark/keypoint ids
+            travel as f32 (exact below 2^24 — far above the id ranges
+            here). `lm_table` (Lpad, 3) is the landmark table padded to a
+            coarse multiple so a growing map hits a handful of compiled
+            shapes. Returns (K, 9 + 3*Mcap): [pose 6 | n_has | n_inl |
+            rmse | idx_b | lm_of | inlier] per candidate.
+            """
+            Kc, N = desc_bank.shape[0], desc_bank.shape[1]
+            off = 0
+            kp_lm = packed[off:off + Kc * N].reshape(
+                Kc, N).astype(jnp.int32)
+            off += Kc * N
+            valid_bank = packed[off:off + Kc * N].reshape(Kc, N) > 0.5
+            off += Kc * N
+            uv_q = packed[off:off + 2 * N].reshape(N, 2)
+            off += 2 * N
+            valid_q = packed[off:off + N] > 0.5
+            off += N
+            cand_ok = packed[off:off + Kc] > 0.5
+            keys = jax.random.split(key, Kc)
+            Lpad = lm_table.shape[0]
+
+            def one(k_key, desc_k, valid_k, kp_lm_k, ok_k):
+                m = match_descriptors(desc_k, valid_k, desc_q, valid_q,
+                                      cfg.match)
+                lm_of = kp_lm_k[m.idx_a]
+                has = m.valid & (lm_of >= 0) & ok_k
+                lms = lm_table[jnp.clip(lm_of, 0, Lpad - 1)]
+                uv = uv_q[m.idx_b]
+                pose, inl, rmse = pose_ransac_refine(
+                    k_key, new_pose, K, lms, uv, has,
+                    delta=cfg.ransac.inlier_threshold)
+                inl = inl & has
+                f32 = jnp.float32
+                return jnp.concatenate([
+                    pose,
+                    jnp.sum(has).astype(f32)[None],
+                    jnp.sum(inl).astype(f32)[None],
+                    rmse.astype(f32)[None],
+                    m.idx_b.astype(f32), lm_of.astype(f32),
+                    inl.astype(f32)])
+
+            return jax.vmap(one)(keys, desc_bank, valid_bank, kp_lm,
+                                 cand_ok)
+
+        @jax.jit
         def _triangulate(pose_a, pose_b, pa, pb):
             """Fixed-capacity triangulation; returns PACKED (N, 4) [X|good]
             so the host pays one read, and callers pad (pa, pb) to a static
@@ -558,6 +658,7 @@ class SfmPipeline:
         self._jit_match = _match
         self._jit_bootstrap = _bootstrap
         self._jit_localize = _localize
+        self._jit_loop_probe = _loop_probe
         self._jit_triangulate = _triangulate
         self._jit_window_ba = _window_ba
         self._jit_window_ba_track = _window_ba_track
@@ -1140,13 +1241,57 @@ class SfmPipeline:
         inliers, sel, lm_of_match, tri) or None.
         """
         cfg = self.cfg
-        cand = self._candidate_keyframes(kp, cfg.reloc_candidates)
-        for oi in cand:                  # best-candidate first
+        cand = [int(oi) for oi in
+                self._candidate_keyframes(kp, cfg.reloc_candidates)]
+        cand = cand[:cfg.reloc_candidates]
+        if not cand:
+            return None
+
+        # ONE fused dispatch probes every candidate (see _reloc_probe);
+        # decode below keeps the sequential best-candidate-first semantics.
+        Kc = cfg.reloc_candidates
+        N = kp["x"].shape[0]
+        valid_bank = np.zeros((Kc, N), np.float32)
+        lms_bank = np.zeros((Kc, N, 3), np.float32)
+        has_bank = np.zeros((Kc, N), np.float32)
+        uv_bank = np.zeros((Kc, N, 2), np.float32)
+        poses = np.zeros((Kc, 6), np.float32)
+        desc_list = []
+        for s, oi in enumerate(cand):
             ref = self.keyframes[oi]
-            pose, inl, rmse, m, sel, lm_of, n_inl, tri = \
-                self._match_and_localize(kp, ref, ref.pose)
+            has = ref.kp_lm >= 0
+            if self.landmarks.shape[0] > 0:
+                lms_bank[s] = self.landmarks[np.clip(
+                    ref.kp_lm, 0, self.landmarks.shape[0] - 1)]
+            else:
+                has = np.zeros_like(has)
+            valid_bank[s] = ref.kp["valid"].astype(np.float32)
+            has_bank[s] = has.astype(np.float32)
+            uv_bank[s, :, 0] = ref.kp["u"]
+            uv_bank[s, :, 1] = ref.kp["v"]
+            poses[s] = ref.pose
+            desc_list.append(jnp.asarray(ref.kp["desc"]))
+        while len(desc_list) < Kc:          # pad to the compiled shape
+            desc_list.append(desc_list[0])
+        desc_bank = jnp.stack(desc_list)    # device op (desc live there)
+        uv_q = np.stack([kp["u"], kp["v"]], -1).astype(np.float32)
+        packed_in = np.concatenate([
+            valid_bank.ravel(), lms_bank.ravel(), has_bank.ravel(),
+            uv_bank.ravel(), poses.ravel(),
+            kp["valid"].astype(np.float32), uv_q.ravel()])
+        out = np.asarray(self._jit_reloc_probe(
+            self._next_key(), desc_bank, jnp.asarray(kp["desc"]),
+            jnp.asarray(packed_in)))
+
+        M = cfg.match.max_matches
+        for s, oi in enumerate(cand):       # best-candidate first
+            row = out[s]
+            n_inl = int(row[8 * M + 6])
+            rmse = float(row[8 * M + 7])
             if n_inl >= cfg.keyframe_min_inliers and \
                     rmse <= 2.0 * cfg.loop_max_rmse:
+                pose, inl, sel, m, lm_of, tri = \
+                    self._decode_kf_payload(row, self.keyframes[oi])
                 if self.logger is not None:
                     self.logger.log("relocalized", ref_kf=int(oi),
                                     inliers=n_inl, rmse=rmse)
@@ -1422,48 +1567,78 @@ class SfmPipeline:
         uniform probing as the fallback."""
         cfg = self.cfg
         old_max = new_idx - cfg.window_size
-        if old_max < 1:
+        if old_max < 1 or self.landmarks.shape[0] == 0:
             return
         cand_idx = self._candidate_keyframes(
             self.keyframes[new_idx].kp, cfg.loop_candidates,
             exclude_from=old_max)
         new_kf = self.keyframes[new_idx]
         new_lms = new_kf.kp_lm[new_kf.kp_lm >= 0]
+        # Covisibility gate (host bookkeeping, no dispatch): sharing
+        # landmarks with the candidate means it's a tracked neighbour, not
+        # a loop — re-closing against it just injects noisy redundant
+        # constraints and churns the graph.
+        cands: List[int] = []
         for oi in cand_idx:
-            old_kf = self.keyframes[oi]
-            # Covisibility gate: sharing landmarks with the candidate means
-            # it's a tracked neighbour, not a loop — re-closing against it
-            # just injects noisy redundant constraints and churns the graph.
-            old_lms = old_kf.kp_lm[old_kf.kp_lm >= 0]
+            old_lms = self.keyframes[oi].kp_lm[self.keyframes[oi].kp_lm >= 0]
             if np.intersect1d(new_lms, old_lms).size > 10:
                 continue
-            m = self._jit_match(jnp.asarray(old_kf.kp["desc"]),
-                                jnp.asarray(old_kf.kp["valid"]),
-                                jnp.asarray(new_kf.kp["desc"]),
-                                jnp.asarray(new_kf.kp["valid"]))
-            valid = np.asarray(m.valid)
-            ia, ib = np.asarray(m.idx_a), np.asarray(m.idx_b)
-            lm_of = old_kf.kp_lm[ia]
-            has = valid & (lm_of >= 0)
-            sel = np.nonzero(has)[0]
-            if sel.shape[0] < cfg.loop_min_inliers:
+            cands.append(int(oi))
+        cands = cands[:cfg.loop_candidates]
+        if not cands:
+            return
+
+        # ONE fused dispatch probes every candidate (match -> 2D-3D gather
+        # -> robust localize); decode order below preserves the sequential
+        # best-candidate-first acceptance semantics.
+        Kc = cfg.loop_candidates
+        N = new_kf.kp["x"].shape[0]
+        kp_lm_bank = np.zeros((Kc, N), np.float32)
+        valid_bank = np.zeros((Kc, N), np.float32)
+        cand_ok = np.zeros((Kc,), np.float32)
+        desc_list = []
+        for s, oi in enumerate(cands):
+            kf = self.keyframes[oi]
+            kp_lm_bank[s] = kf.kp_lm.astype(np.float32)
+            valid_bank[s] = kf.kp["valid"].astype(np.float32)
+            cand_ok[s] = 1.0
+            desc_list.append(jnp.asarray(kf.kp["desc"]))
+        while len(desc_list) < Kc:          # pad to the compiled shape
+            desc_list.append(desc_list[0])
+        desc_bank = jnp.stack(desc_list)    # device op (desc live there)
+        uv_q = np.stack([new_kf.kp["u"], new_kf.kp["v"]],
+                        -1).astype(np.float32)
+        packed_in = np.concatenate([
+            kp_lm_bank.ravel(), valid_bank.ravel(), uv_q.ravel(),
+            new_kf.kp["valid"].astype(np.float32), cand_ok])
+        Ln = self.landmarks.shape[0]
+        Lpad = ((Ln + 4095) // 4096) * 4096
+        lm_table = np.zeros((Lpad, 3), np.float32)
+        lm_table[:Ln] = self.landmarks
+        out = np.asarray(self._jit_loop_probe(
+            self._next_key(), jnp.asarray(new_kf.pose), desc_bank,
+            jnp.asarray(new_kf.kp["desc"]), jnp.asarray(packed_in),
+            jnp.asarray(lm_table)))
+
+        Mcap = cfg.match.max_matches
+        for s, oi in enumerate(cands):
+            old_kf = self.keyframes[oi]
+            row = out[s]
+            n_has = int(row[6])
+            n_inl = int(row[7])
+            rmse = float(row[8])
+            # `rmse <= max` (not `not >`): a degenerate candidate's NaN
+            # rmse must reject, not slip past an inverted comparison.
+            if n_has < cfg.loop_min_inliers or \
+                    n_inl < cfg.loop_min_inliers or \
+                    not (rmse <= cfg.loop_max_rmse):
                 continue
-            cap = cfg.match.max_matches
-            lms = np.zeros((cap, 3), np.float32)
-            uv = np.zeros((cap, 2), np.float32)
-            lms[:sel.shape[0]] = self.landmarks[lm_of[sel]]
-            uv[:sel.shape[0], 0] = new_kf.kp["u"][ib[sel]]
-            uv[:sel.shape[0], 1] = new_kf.kp["v"][ib[sel]]
-            pvalid = np.zeros(cap, bool)
-            pvalid[:sel.shape[0]] = True
-            pose, inl, rmse = self._jit_localize(
-                self._next_key(), jnp.asarray(new_kf.pose), jnp.asarray(lms),
-                jnp.asarray(uv), jnp.asarray(pvalid))
-            n_inl = int(np.asarray(inl).sum())
-            if n_inl < cfg.loop_min_inliers or \
-                    float(rmse) > cfg.loop_max_rmse:
-                continue
-            inl_np = np.asarray(inl)[:sel.shape[0]]
+            pose = row[:6].astype(np.float32)
+            ib_all = row[9:9 + Mcap].astype(np.int64)
+            lm_all = row[9 + Mcap:9 + 2 * Mcap].astype(np.int64)
+            inl_mask = row[9 + 2 * Mcap:9 + 3 * Mcap] > 0.5
+            ib_inl = ib_all[inl_mask]
+            lm_inl = lm_all[inl_mask]
             # Scale drift across the loop (Sim(3) graphs only): the new
             # keyframe's duplicate landmark estimates vs the old map's
             # points for the same physical features. Umeyama's scale s_u
@@ -1473,8 +1648,8 @@ class SfmPipeline:
             # shrink — hence edge sigma_z = sigma_j - sigma_i = log(s_u).
             sigma = 0.0
             if cfg.pose_graph_sim3:
-                cur_ids = new_kf.kp_lm[ib[sel[inl_np]]]
-                old_ids = lm_of[sel[inl_np]]
+                cur_ids = new_kf.kp_lm[ib_inl]
+                old_ids = lm_inl
                 dup = (cur_ids >= 0) & (cur_ids != old_ids)
                 if dup.sum() >= 8:
                     from sift_tpu.geometry import sim3 as sim3m
@@ -1489,18 +1664,17 @@ class SfmPipeline:
             # Edge: old -> new with the re-localized pose.
             self.pose_edges.append(dict(
                 i=int(oi), j=new_idx, kind="loop",
-                z=self._rel_pose(old_kf.pose, np.asarray(pose)),
+                z=self._rel_pose(old_kf.pose, pose),
                 w=cfg.loop_weight, sigma=sigma))
             self.num_loop_closures += 1
             # Landmark fusion: the accepted 2D-3D inliers tie new-keyframe
             # keypoints to OLD map points — adopt/merge so subsequent window
             # BA constrains the loop through shared observations, not only
             # through the pose-graph edge.
-            self._fuse_loop_landmarks(new_kf, ib[sel[inl_np]],
-                                      lm_of[sel[inl_np]])
+            self._fuse_loop_landmarks(new_kf, ib_inl, lm_inl)
             if self.logger is not None:
                 self.logger.log("loop_closure", old=int(oi), new=new_idx,
-                                inliers=n_inl, rmse=float(rmse))
+                                inliers=n_inl, rmse=rmse)
             self._run_pose_graph()
             break          # at most one closure per keyframe
 

@@ -263,6 +263,38 @@ def test_out_and_back_stays_consistent():
     assert ate < 0.05, ate
 
 
+def test_loop_probe_accepts_revisit(world):
+    """The fused loop-closure probe (every candidate matched + localized in
+    ONE dispatch, decoded best-candidate-first) must accept a genuine
+    revisit: a keyframe that sees keyframe 0's features but shares none of
+    its landmark ids (so the covisibility gate passes) re-localizes against
+    the old map, adds a loop edge, and fuses the old landmarks."""
+    from sift_tpu.slam.pipeline import Keyframe
+
+    frames = {i: world.frame_keypoints(i) for i in range(len(world.poses))}
+    pipe = SfmPipeline(INTR, _loop_cfg(),
+                       frontend=lambda g: frames[int(g[0, 0])])
+    for i in range(24):
+        pipe.process_frame(np.full((2, 2), i, np.float32))
+    assert len(pipe.keyframes) >= pipe.cfg.window_size + 2
+
+    # Synthetic revisit: keyframe 0's keypoints with fresh (unassociated)
+    # landmark slots. No shared ids -> the gate cannot suppress it; the
+    # probe's 2D-3D matches come entirely from keyframe 0's map points.
+    kf0 = pipe.keyframes[0]
+    revisit = Keyframe(pipe._frame_idx + 1, kf0.pose.copy(), kf0.kp)
+    pipe.keyframes.append(revisit)
+    new_idx = len(pipe.keyframes) - 1
+    before = pipe.num_loop_closures
+    pipe._try_loop_closure(new_idx)
+
+    assert pipe.num_loop_closures == before + 1
+    edge = pipe.pose_edges[-1]
+    assert edge["kind"] == "loop" and edge["j"] == new_idx
+    # Fusion adopted old map points for the accepted inliers.
+    assert (revisit.kp_lm >= 0).sum() >= pipe.cfg.loop_min_inliers
+
+
 def test_pose_graph_correction_reanchors_map():
     """Drive the PGO machinery directly: inject rigid drift into the later
     keyframes (poses + their landmarks), add a ground-truth loop edge, and
