@@ -115,6 +115,39 @@ def bench_matching_large():
                         f"speedup={out['xla']/out['pallas']:.2f}x"))
 
 
+def bench_matching_q8():
+    """int8-quantized matching (metric="l2q8") vs the f32 path at the same
+    problem size — measures what the quantized dot buys on the MXU."""
+    import jax.numpy as jnp
+    from sift_tpu.config import MatchConfig
+    from sift_tpu.matching.matcher import match_descriptors
+    from sift_tpu.utils.timing import chained_time, tree_scalar
+
+    n = 1024 if SMALL else 8192
+    rng = np.random.default_rng(0)
+    d = rng.standard_normal((2, n, 128)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    valid = jnp.ones((n,), bool)
+    da, db = jnp.asarray(d[0]), jnp.asarray(d[1])
+
+    t = {}
+    for metric in ("l2", "l2q8"):
+        cfg = MatchConfig(max_matches=4096, metric=metric, impl="xla")
+
+        def fn(x):
+            m = match_descriptors(x, valid, db, valid, cfg)
+            return tree_scalar((m.distance, m.idx_a))
+
+        t[metric] = chained_time(fn, (da,))
+    pairs = n * n
+    return dict(metric="matching_q8_pairs_per_s",
+                value=round(pairs / t["l2q8"] / 1e9, 3),
+                unit="Gpairs/s",
+                detail=(f"{n}x{n} desc128 l2q8={t['l2q8']*1e3:.2f}ms "
+                        f"l2={t['l2']*1e3:.2f}ms "
+                        f"speedup={t['l2']/t['l2q8']:.2f}x"))
+
+
 def bench_ann():
     """IVF-Flat search vs brute force at the same problem size.
 
@@ -140,16 +173,20 @@ def bench_ann():
                     kmeans_iters=10, query_tile=512)
     idx = build_ivf(jnp.asarray(db), jnp.ones(ndb, bool), ann)
 
-    def fn_ivf(x):
-        b, s, a = search_ivf(idx, x, jnp.ones(nq, bool), ann)
+    # The index / database ride as ARGUMENTS, not closures: a closed-over
+    # device array is baked into the HLO as a constant, and at this size
+    # (bucket_desc alone is ~270 MB) the serialized program overflows the
+    # tunneled backend's compile-request limit (HTTP 413).
+    def fn_ivf(x, idx_):
+        b, s, a = search_ivf(idx_, x, jnp.ones(nq, bool), ann)
         return tree_scalar((b, s, a.astype(jnp.float32)))
 
-    def fn_brute(x):
-        d = pairwise_sqdist(x, jnp.asarray(db))
+    def fn_brute(x, db_):
+        d = pairwise_sqdist(x, db_)
         return tree_scalar((jnp.min(d, -1), jnp.argmin(d, -1)))
 
-    t_ivf = chained_time(fn_ivf, (jnp.asarray(q),))
-    t_bf = chained_time(fn_brute, (jnp.asarray(q),))
+    t_ivf = chained_time(fn_ivf, (jnp.asarray(q), idx))
+    t_bf = chained_time(fn_brute, (jnp.asarray(q), jnp.asarray(db)))
     return dict(metric="ann_queries_per_s", value=round(nq / t_ivf, 1),
                 unit="q/s",
                 detail=(f"{nq}q x {ndb}db ivf={t_ivf*1e3:.2f}ms "
@@ -305,8 +342,8 @@ def bench_roofline():
 
 
 def main():
-    for fn in (bench_matching, bench_matching_large, bench_ann,
-               bench_ransac, bench_ba, bench_blur):
+    for fn in (bench_matching, bench_matching_large, bench_matching_q8,
+               bench_ann, bench_ransac, bench_ba, bench_blur):
         try:
             print(json.dumps(fn()))
         except Exception as e:  # keep the report going

@@ -90,7 +90,7 @@ def _pipeline_cfg():
         ba_tracking_iterations=8, ba_tracking_cg=20, ba_async=True,
         chunked_tracking=True,
         extract_ahead=bool(int(os.environ.get("SLAM_BENCH_EXTRACT_AHEAD",
-                                              "0"))),
+                                              "1"))),
         window_size=6, ba_max_landmarks=2048, ba_max_observations=8192,
         min_bootstrap_parallax=2.0, min_bootstrap_matches=25,
         kf_min_tracked=60, kf_max_interval=4,

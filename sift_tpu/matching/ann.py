@@ -6,7 +6,18 @@ subsumes an index up to ~10^7 database descriptors; this module covers
 the regime beyond that — city-scale place recognition / offline
 structure-from-motion where the database no longer fits a single
 all-pairs pass. It is an inverted-file (IVF-Flat) index re-designed for
-the TPU rather than a port of a CPU ANN library:
+the TPU rather than a port of a CPU ANN library.
+
+**Measured caveat (v5e, BENCH.md round-2 addendum): on-chip, brute
+force beats this index by ~68x at 4096 x 131072 (2.2 ms vs 150 ms) —
+TPU gathers cost far more than the MXU FLOPs the probing saves, at any
+HBM-resident size. Use the brute-force / streaming-Pallas matcher on
+TPU; this module is the host/offline fallback for databases that
+cannot ride the MXU path at all. Nothing in `MatchConfig.impl="auto"`
+routes here.**
+
+Design (kept TPU-idiomatic so the build/search remain single jitted
+programs even in the fallback role):
 
 - **Build** = k-means where BOTH steps are MXU matmuls: assignment is an
   (N, D) x (D, C) distance matmul + argmin, and the centroid update is a
