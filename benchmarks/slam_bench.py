@@ -108,7 +108,8 @@ def bench_system():
     half = N_FRAMES // 2
     # First half: compiles (bootstrap program, tracking program, promotion
     # + BA programs) + map warmup.
-    pipe.process_sequence(frames[:half], batch=8)
+    chunk = int(os.environ.get("SLAM_BENCH_BATCH", "8"))
+    pipe.process_sequence(frames[:half], batch=chunk)
     # Steady state, timed: best of two passes (tunnel RTT varies run to
     # run; the better pass is closer to the machine's capability).
     quarter = (N_FRAMES - half) // 2
@@ -116,7 +117,7 @@ def bench_system():
     best, detail = 0.0, ""
     for chunk_frames in spans:
         t0 = time.perf_counter()
-        results = pipe.process_sequence(chunk_frames, batch=8)
+        results = pipe.process_sequence(chunk_frames, batch=chunk)
         elapsed = time.perf_counter() - t0
         kf_s = len(chunk_frames) / max(elapsed, 1e-9)
         if kf_s > best:
