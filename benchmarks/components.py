@@ -134,11 +134,13 @@ def bench_matching_q8():
     for metric in ("l2", "l2q8"):
         cfg = MatchConfig(max_matches=4096, metric=metric, impl="xla")
 
-        def fn(x):
-            m = match_descriptors(x, valid, db, valid, cfg)
+        # db as an arg, not a closure: closed-over device arrays are baked
+        # into the HLO as constants (CLAUDE.md rule; ~100 MB tunnel limit).
+        def fn(x, db_):
+            m = match_descriptors(x, valid, db_, valid, cfg)
             return tree_scalar((m.distance, m.idx_a))
 
-        t[metric] = chained_time(fn, (da,))
+        t[metric] = chained_time(fn, (da, db))
     pairs = n * n
     return dict(metric="matching_q8_pairs_per_s",
                 value=round(pairs / t["l2q8"] / 1e9, 3),

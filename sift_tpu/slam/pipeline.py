@@ -663,6 +663,7 @@ class SfmPipeline:
         self._jit_window_ba = _window_ba
         self._jit_window_ba_track = _window_ba_track
         self._pending_ba = None   # (BAState device handle, window kfs, uniq, L)
+        self._ba_kickoff = None   # deferred _run_window_ba args (chunk path)
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -933,6 +934,10 @@ class SfmPipeline:
             jnp.asarray(uv_a))
         if after_dispatch is not None:
             after_dispatch()       # e.g. next chunk's extract (see caller)
+        # A BA deferred by the previous chunk's promotion dispatches NOW —
+        # behind this chunk's track + extract programs — so the blocking
+        # read below never waits on a solve.
+        self._kickoff_ba()
         arr = np.asarray(packed_dev)                 # the chunk's ONE read
         per_frame = arr[:B * 8].reshape(B, 8)[:n_frames]
         n_inls = per_frame[:, 6].astype(np.int32)
@@ -956,7 +961,7 @@ class SfmPipeline:
                 pose, inliers, sel, m, lm_of_match, tri = \
                     self._decode_kf_payload(payload, ref_kf)
                 self._promote_keyframe(kp, pose, m, inliers, sel,
-                                       lm_of_match, tri=tri)
+                                       lm_of_match, tri=tri, defer_ba=True)
                 self.chunk_stats["fused_promotions"] += 1
                 self._frames_since_kf = 0
                 out["pose"] = self.keyframes[-1].pose
@@ -1066,6 +1071,7 @@ class SfmPipeline:
         # A deferred BA result from the PRE-load map must never be applied
         # to the loaded one (its landmark indices belong to the old map).
         self._pending_ba = None
+        self._ba_kickoff = None
         self._global_index = None
         for i, kf in enumerate(self.keyframes):
             self._index_keyframe(i, kf)
@@ -1455,12 +1461,18 @@ class SfmPipeline:
     def _promote_keyframe(self, kp, pose, m, inliers, sel, lm_of_match,
                           depth: Optional[np.ndarray] = None,
                           ref_kf: Optional[Keyframe] = None,
-                          tri: Optional[np.ndarray] = None):
+                          tri: Optional[np.ndarray] = None,
+                          defer_ba: bool = False):
         """`ref_kf`: the keyframe the match `m` was computed against
         (defaults to the last keyframe; relocalization passes its hit).
         `tri`: optional (M, 4) [X | good] per match slot from the fused
         match+localize+triangulate dispatch — when present the standalone
-        triangulation dispatch (and its host read) is skipped."""
+        triangulation dispatch (and its host read) is skipped.
+        `defer_ba`: don't dispatch the window BA here — record a pending
+        kickoff that the chunked tracker issues AFTER the next chunk's
+        track+extract dispatches, so the solve rides behind the chunk's
+        blocking read instead of serializing in front of it (the measured
+        read wait is the device queue: BA + track; see BENCH.md r3)."""
         self._flush_ba()     # promotion reads/writes poses + landmarks
         kf_prev = ref_kf if ref_kf is not None else self.keyframes[-1]
         valid = np.asarray(m.valid)
@@ -1537,7 +1549,10 @@ class SfmPipeline:
             # Before the window-BA kickoff: nothing is pending here, so
             # the compaction's flush never blocks on an in-flight solve.
             self.compact_landmarks()
-        self._run_window_ba(fix_first_n=2)
+        if defer_ba:
+            self._ba_kickoff = dict(fix_first_n=2)
+        else:
+            self._run_window_ba(fix_first_n=2)
         if self.logger is not None:
             self.logger.log("keyframe", frame=self._frame_idx,
                             n_keyframes=len(self.keyframes),
@@ -1900,12 +1915,28 @@ class SfmPipeline:
                      if d != o]
         if not dup_pairs:
             return
+        # Union-find: exact chain resolution at any depth (repeated
+        # closures over the same region can build arbitrarily long
+        # duplicate chains; fixed-pass squashing left tails unresolved).
         remap = np.arange(self.landmarks.shape[0], dtype=np.int64)
+
+        def find(i):
+            while remap[i] != i:
+                remap[i] = remap[remap[i]]   # path halving
+                i = remap[i]
+            return i
+
         for d, o in dup_pairs:
-            remap[d] = o
-        # Resolve chains (a->b->c) conservatively with a few passes.
-        for _ in range(3):
-            remap = remap[remap]
+            rd, ro = find(d), find(o)
+            if rd != ro:
+                # Merge toward the older (smaller-id) landmark so the
+                # survivor is always the first triangulation.
+                remap[max(rd, ro)] = min(rd, ro)
+        # Flatten to roots (vectorized; doubles resolved depth per pass).
+        flat = remap[remap]
+        while not np.array_equal(flat, remap):
+            remap, flat = flat, flat[flat]
+        remap = flat
         for kf in self.keyframes:
             has = kf.kp_lm >= 0
             kf.kp_lm[has] = remap[kf.kp_lm[has]]
@@ -2115,8 +2146,16 @@ class SfmPipeline:
             self.logger.log("window_ba", rmse=float(packed[-2]),
                             iters=int(packed[-1]), n_obs=O, n_lms=L)
 
+    def _kickoff_ba(self):
+        """Dispatch a deferred window-BA solve, if one is pending."""
+        if self._ba_kickoff is not None:
+            kw, self._ba_kickoff = self._ba_kickoff, None
+            self._run_window_ba(**kw)
+
     def _flush_ba(self):
-        """Apply a deferred window-BA result, if any."""
+        """Apply a deferred window-BA result, if any (dispatching a
+        still-pending deferred kickoff first)."""
+        self._kickoff_ba()
         if self._pending_ba is not None:
             st, window, uniq, L, O = self._pending_ba
             self._pending_ba = None

@@ -44,6 +44,49 @@ def test_fuse_adopt_and_merge():
     assert (kf0.kp_lm[:3] == [0, 1, 2]).all()
 
 
+def test_fuse_deep_duplicate_chain():
+    """Repeated closures over one region build long remap chains; the
+    union-find fusion must resolve them at ANY depth (the old fixed-pass
+    squash only handled depth <= 8)."""
+    D = 24                      # chain depth, far past the old 8 limit
+    pipe = SfmPipeline((500.0, 500.0, 320.0, 240.0), PipelineConfig(),
+                       frontend=lambda g: None)
+    pipe.landmarks = np.arange(3 * (D + 1), dtype=np.float32).reshape(-1, 3)
+    pipe.lm_ref_kf = np.zeros(D + 1, np.int64)
+
+    kf0 = _mk_kf(1, 0)
+    kf0.kp_lm[0] = 0
+    pipe.keyframes = [kf0]
+    # Closure i says "landmark i+1 duplicates whatever the previous
+    # keyframe now references" (old ids are always live ids in practice —
+    # they are read from a keyframe's kp_lm after earlier remaps).
+    for i in range(D):
+        kf = _mk_kf(1, i + 1)
+        kf.kp_lm[0] = i + 1
+        pipe.keyframes.append(kf)
+        old = int(pipe.keyframes[-2].kp_lm[0])
+        pipe._fuse_loop_landmarks(kf, np.asarray([0]), np.asarray([old]))
+    for kf in pipe.keyframes:
+        assert kf.kp_lm[0] == 0, kf.kp_lm
+
+    # And a single batch carrying one long chain (worst case for chain
+    # resolution inside ONE call): pairs (1<-2), (2<-3), ... arrive
+    # together in an order that builds the chain deepest-first.
+    pipe2 = SfmPipeline((500.0, 500.0, 320.0, 240.0), PipelineConfig(),
+                        frontend=lambda g: None)
+    pipe2.landmarks = np.arange(3 * (D + 1), dtype=np.float32).reshape(-1, 3)
+    pipe2.lm_ref_kf = np.zeros(D + 1, np.int64)
+    kf0 = _mk_kf(D, 0)
+    kf0.kp_lm[:] = np.arange(1, D + 1)       # slots carry lms 1..D
+    pipe2.keyframes = [kf0]
+    # Slot s (carrying lm s+1) matched old landmark s: dup pairs
+    # (s+1 -> s) for s = D-1 .. 0, deepest link first.
+    slots = np.arange(D)[::-1].copy()
+    olds = np.arange(D)[::-1].copy()
+    pipe2._fuse_loop_landmarks(kf0, slots, olds)
+    assert (kf0.kp_lm == 0).all(), kf0.kp_lm
+
+
 def test_compact_landmarks_drops_orphans_and_remaps():
     pipe = SfmPipeline((500.0, 500.0, 320.0, 240.0), PipelineConfig(),
                        frontend=lambda g: None)

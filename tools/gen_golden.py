@@ -41,8 +41,10 @@ from sift_tpu.oracle.refbuild import (                      # noqa: E402
 )
 
 
-def refsim_rows(img: np.ndarray, subpixel: bool):
-    kps = refsim_extract(img, subpixel=subpixel)
+def refsim_rows(img: np.ndarray, subpixel: bool, sigma: float = 1.6,
+                k: float = math.sqrt(2.0), octaves: int = 4, dogs: int = 3):
+    kps = refsim_extract(img, sigma=sigma, k=k, octaves=octaves,
+                         dogs_per_epoch=dogs, subpixel=subpixel)
     return [(p.x, p.y, p.octave, p.level, p.scale, p.orientation,
              p.desc if p.desc is not None else np.zeros(128, np.float32))
             for p in kps]
@@ -115,8 +117,42 @@ def main():
                        __import__("hashlib").sha256(gray.tobytes()).digest(),
                        np.uint8)}
 
+    # --- flag grid (golden_grid.npz): parity beyond the defaults ---------
+    # The reference's CLI exposes -s/-k/-o/-d/-p (main.cpp:33-38); -d 4/5
+    # activates MULTIPLE interior DoG levels in the extrema scan
+    # (sift.cpp:352-355), a path the default-flag goldens never touch.
+    # Each case: (image, sigma, k, octaves, dogs, subpixel).
+    rt2 = math.sqrt(2.0)
+    crop = parrot_gray()[140:260, 180:330].copy()     # real-texture crop
+    grid = {
+        "d4": (smooth_image(64, 72, seed=2), 1.6, rt2, 4, 4, False),
+        "d5": (smooth_image(64, 72, seed=3), 1.6, rt2, 4, 5, False),
+        "o2": (smooth_image(44, 52, seed=4), 1.6, rt2, 2, 3, False),
+        "o5": (smooth_image(96, 112, seed=6), 1.6, rt2, 5, 3, False),
+        "s10": (smooth_image(44, 52, seed=7), 1.0, rt2, 4, 3, False),
+        "s20": (smooth_image(44, 52, seed=8), 2.0, rt2, 4, 3, False),
+        "k12": (smooth_image(44, 52, seed=9), 1.6, 1.2, 4, 3, False),
+        "real_sub": (crop, 1.6, rt2, 4, 3, True),
+        "real_d4": (crop, 1.6, rt2, 4, 4, False),
+        "d4_o5": (smooth_image(96, 112, seed=10), 1.6, rt2, 5, 4, False),
+    }
+    grid_blob = {}
+    for key, (img, sigma, k, octaves, dogs, subpixel) in grid.items():
+        ref = run_ref_binary(exe, img, subpixel, sigma=sigma, k=k,
+                             octaves=octaves, dogs=dogs)
+        sim = refsim_rows(img, subpixel, sigma=sigma, k=k,
+                          octaves=octaves, dogs=dogs)
+        assert_equal_sets(ref, sim, f"grid/{key}")
+        kp, desc = rows_to_arrays(ref)
+        grid_blob[f"{key}_img"] = img
+        grid_blob[f"{key}_kp"] = kp
+        grid_blob[f"{key}_desc"] = desc
+        grid_blob[f"{key}_params"] = np.asarray(
+            [sigma, k, octaves, dogs, int(subpixel)], np.float64)
+
     golden_path = os.path.join(PARITY_DIR, "golden_refsim.npz")
     parrot_path = os.path.join(PARITY_DIR, "golden_ref_parrot.npz")
+    grid_path = os.path.join(PARITY_DIR, "golden_grid.npz")
 
     if args.check:
         ok = True
@@ -130,11 +166,17 @@ def main():
             if not np.array_equal(z2[k], v):
                 print(f"DRIFT: parrot/{k}")
                 ok = False
+        z3 = np.load(grid_path)
+        for k, v in grid_blob.items():
+            if not np.array_equal(z3[k], v):
+                print(f"DRIFT: grid/{k}")
+                ok = False
         sys.exit(0 if ok else 1)
 
     np.savez_compressed(golden_path, **blob)
     np.savez_compressed(parrot_path, **parrot_blob)
-    print(f"wrote {golden_path} and {parrot_path}")
+    np.savez_compressed(grid_path, **grid_blob)
+    print(f"wrote {golden_path}, {parrot_path} and {grid_path}")
 
 
 if __name__ == "__main__":
