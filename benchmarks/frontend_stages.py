@@ -94,13 +94,20 @@ def main():
     # ---- timed stages ----
     res = []
 
+    only = os.environ.get("STAGES_ONLY", "")
+    wanted = set(only.split(",")) if only else None
+
+    def want(name):
+        return wanted is None or name in wanted
+
     def add(name, t_s, note=""):
         res.append(dict(metric=f"fe_{name}_ms", unit="ms",
                         value=round(t_s * 1e3, 3), detail=note))
         print(json.dumps(res[-1]), flush=True)
 
-    t = chained_time(lambda im: tree_scalar(build_pyramid(im, cfg)), (imgs,))
-    add("pyramid", t, f"batch={BATCH}")
+    if want("pyramid"):
+        t = chained_time(lambda im: tree_scalar(build_pyramid(im, cfg)), (imgs,))
+        add("pyramid", t, f"batch={BATCH}")
 
     def fn_ex(d0, *rest):
         ds = (d0,) + rest
@@ -110,8 +117,9 @@ def main():
             s += tree_scalar(out)
         return s
 
-    t = chained_time(fn_ex, tuple(pyr.dogs))
-    add("extrema", t)
+    if want("extrema"):
+        t = chained_time(fn_ex, tuple(pyr.dogs))
+        add("extrema", t)
 
     def fn_rf(d0, *rest):
         ds = rest[:n_oct - 1]
@@ -135,8 +143,9 @@ def main():
                   for c in cands]
     cand_args = [jnp.stack([p[:, 0], p[:, 1], p[:, 2], p[:, 3], p[:, 4]])
                  for p in cand_packs]
-    t = chained_time(fn_rf, tuple(pyr.dogs) + tuple(cand_args))
-    add("refine", t)
+    if want("refine"):
+        t = chained_time(fn_rf, tuple(pyr.dogs) + tuple(cand_args))
+        add("refine", t)
 
     def fn_gr(g0, *rest):
         gs = (g0,) + rest
@@ -146,8 +155,9 @@ def main():
             s += jnp.sum(dx) + jnp.sum(dy)
         return s
 
-    t = chained_time(fn_gr, tuple(pyr.gauss))
-    add("gradients", t)
+    if want("gradients"):
+        t = chained_time(fn_gr, tuple(pyr.gauss))
+        add("gradients", t)
 
     def fn_wf(g0, *rest):
         gs = (g0,) + rest[:n_oct - 1]
@@ -174,9 +184,10 @@ def main():
 
     rf_args = [jnp.stack([refined[o]["y"], refined[o]["x"],
                           refined[o]["scale"]]) for o in range(n_oct)]
-    t = chained_time(fn_wf, tuple(pyr.gauss) + tuple(rf_args),
-                     reps_lo=2, reps_hi=8)
-    add("window_fetch_incl_grad", t, "includes per-octave gradient maps")
+    if want("window_fetch"):
+        t = chained_time(fn_wf, tuple(pyr.gauss) + tuple(rf_args),
+                         reps_lo=2, reps_hi=8)
+        add("window_fetch_incl_grad", t, "includes per-octave gradient maps")
 
     def fn_or(w0, *rest):
         ws = (w0,) + rest
@@ -192,8 +203,9 @@ def main():
     win_args = []
     for wset in wins:
         win_args.extend(wset)
-    t = chained_time(fn_or, tuple(win_args))
-    add("orientation", t)
+    if want("orientation"):
+        t = chained_time(fn_or, tuple(win_args))
+        add("orientation", t)
 
     def fn_de(w0, *rest):
         ws = (w0,) + rest
@@ -209,15 +221,42 @@ def main():
                 s += tree_scalar(out)
         return s
 
-    t = chained_time(fn_de, tuple(win_args))
-    add("descriptors", t, f"{MAX_ORI_PEAKS} peaks")
+    if want("descriptors"):
+        t = chained_time(fn_de, tuple(win_args))
+        add("descriptors", t, f"{MAX_ORI_PEAKS} peaks")
+
+    # Global compaction: top-K over the concatenated per-octave buffers +
+    # the field/descriptor gathers (the "unaccounted" tail of the r3
+    # profile). Realistic shapes: total slots = sum of octave caps x peaks.
+    slots = sum(cfg.octave_cap(o) for o in range(n_oct)) * MAX_ORI_PEAKS
+    rngc = np.random.default_rng(0)
+    score_c = jnp.asarray(
+        rngc.standard_normal((BATCH, slots)).astype(np.float32))
+    desc_c = jnp.asarray(
+        rngc.standard_normal((BATCH, slots, 128)).astype(np.float32))
+    fields_c = jnp.asarray(
+        rngc.standard_normal((BATCH, 7, slots)).astype(np.float32))
+
+    def fn_cp(score, desc, fields):
+        from jax import lax as _lax
+
+        def one(sc, de, fl):
+            top, idx = _lax.top_k(sc, cfg.max_keypoints)
+            return (jnp.sum(top) + jnp.sum(de[idx])
+                    + jnp.sum(fl[:, idx]))
+        return jnp.sum(jax.vmap(one)(score, desc, fields))
+
+    if want("compaction"):
+        t = chained_time(fn_cp, (score_c, desc_c, fields_c))
+        add("compaction", t, f"{slots} slots -> {cfg.max_keypoints}")
 
     def fn_full(im):
         return tree_scalar(jax.vmap(
             lambda i: extract_lowe(i, cfg, True))(im))
 
-    t = chained_time(fn_full, (imgs,))
-    add("full_extract", t, f"batch={BATCH}")
+    if want("full"):
+        t = chained_time(fn_full, (imgs,))
+        add("full_extract", t, f"batch={BATCH}")
     return 0
 
 

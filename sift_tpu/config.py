@@ -227,6 +227,15 @@ class PipelineConfig:
     # did not reproduce). Harmless when chunked_tracking is off.
     extract_ahead: bool = True
 
+    # Defer a chunk promotion's window-BA kickoff until after the NEXT
+    # chunk's track + extract dispatches (chunked_tracking only).
+    # Measured NEGATIVE on the tunneled v5e: 50.5 vs 67.2 kf/s median,
+    # interleaved A/B (benchmarks/slam_ab.py, r3) — the eager kickoff
+    # right after the chunk read lands the solve inside the host's
+    # bookkeeping+RTT window, while the deferred one delays the next
+    # chunk's result instead. Kept as a knob for non-tunneled backends.
+    ba_defer_kickoff: bool = False
+
     # Bootstrap / keyframe policy.
     min_bootstrap_matches: int = 40
     min_bootstrap_parallax: float = 8.0   # px, median flow before two-view init

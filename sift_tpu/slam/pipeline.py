@@ -961,7 +961,8 @@ class SfmPipeline:
                 pose, inliers, sel, m, lm_of_match, tri = \
                     self._decode_kf_payload(payload, ref_kf)
                 self._promote_keyframe(kp, pose, m, inliers, sel,
-                                       lm_of_match, tri=tri, defer_ba=True)
+                                       lm_of_match, tri=tri,
+                                       defer_ba=cfg.ba_defer_kickoff)
                 self.chunk_stats["fused_promotions"] += 1
                 self._frames_since_kf = 0
                 out["pose"] = self.keyframes[-1].pose
