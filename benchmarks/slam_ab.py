@@ -36,7 +36,9 @@ def parse_variant(spec: str):
 
 def run_variant(cfg_kw, frames, chunk):
     from sift_tpu.slam.pipeline import SfmPipeline
-    cfg = slam_bench._pipeline_cfg().replace(**cfg_kw)
+    kw = dict(cfg_kw)
+    chunk = int(kw.pop("batch", chunk))     # pseudo-field: chunk size
+    cfg = slam_bench._pipeline_cfg().replace(**kw)
     pipe = SfmPipeline(slam_bench.INTR, cfg)
     pipe.process_sequence(frames[:slam_bench.N_WARMUP], batch=chunk)
     n_steady = len(frames) - slam_bench.N_WARMUP

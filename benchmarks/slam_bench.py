@@ -38,7 +38,11 @@ SMALL = bool(int(os.environ.get("BENCH_SMALL", "0")))
 H, W = (180, 240) if SMALL else (480, 600)
 FX = 200.0 if SMALL else 520.0
 N_WARMUP = 8 if SMALL else 32           # compiles + map warmup
-N_SPANS = int(os.environ.get("SLAM_BENCH_SPANS", "2" if SMALL else "4"))
+# 6 spans: the first span of the steady call is structurally cold (the
+# upload-prefetch / extract-ahead pipeline re-primes at each
+# process_sequence entry), so a longer window keeps the median on the
+# true steady state without cherry-picking spans.
+N_SPANS = int(os.environ.get("SLAM_BENCH_SPANS", "2" if SMALL else "6"))
 SPAN_FRAMES = 8 if SMALL else 16
 N_FRAMES = N_WARMUP + N_SPANS * SPAN_FRAMES
 STEP = 0.06 if SMALL else 0.025
@@ -130,8 +134,12 @@ def bench_system():
     pipe = SfmPipeline(INTR, _pipeline_cfg())
 
     # Warmup: compiles (bootstrap program, tracking program, promotion
-    # + BA programs) + map warmup.
-    chunk = int(os.environ.get("SLAM_BENCH_BATCH", "8"))
+    # + BA programs) + map warmup. Default chunk 16 (= 2 fused promotions
+    # per dispatch): measured 78.8 vs 52.0 kf/s median against chunk 8 in
+    # the interleaved A/B (slam_ab.py, r3); chunk 32 COLLAPSES to the
+    # per-frame fallback (the local map built at chunk start goes stale
+    # over ~70 px of flow -> late frames fail the guided match).
+    chunk = int(os.environ.get("SLAM_BENCH_BATCH", "16"))
     pipe.process_sequence(frames[:N_WARMUP], batch=chunk)
 
     stamper = _StampLogger()

@@ -55,6 +55,7 @@ def main():
         setattr(pipe, name, wrap(name, getattr(pipe, name)))
 
     n_steady = len(frames) - slam_bench.N_WARMUP
+    pipe._phase_log = {}
     t0 = time.perf_counter()
     pipe.process_sequence(frames[slam_bench.N_WARMUP:], batch=chunk)
     elapsed = time.perf_counter() - t0
@@ -74,6 +75,8 @@ def main():
         "unaccounted_ms": round(
             (elapsed - totals["_process_chunk_tracked"]
              - totals["_jit_extract_batch"]) * 1e3, 1),
+        "inner_ms": {k: [round(x * 1e3, 1) for x in v]
+                     for k, v in pipe._phase_log.items()},
     }
     print(json.dumps(report, indent=1))
     return 0

@@ -78,6 +78,34 @@ def _sift_config(args):
     )
 
 
+def viz_geometry(x, y, octave, scale, orientation_deg, subpixel: bool):
+    """Keypoint -> drawn-square geometry, mirroring the reference's
+    visualization transform (main.cpp:59-74): center = octave-local
+    location scaled to original-image coordinates `loc * 2^octave /
+    (subpixel ? 2 : 1)` (main.cpp:60-63), side = `scale * 10`
+    (the cv::RotatedRect size, main.cpp:66), angle = orientation in
+    degrees (main.cpp:66). Returns (cx, cy, side, angle_deg) arrays."""
+    div = 2.0 if subpixel else 1.0
+    factor = np.exp2(np.asarray(octave, np.float64)) / div
+    cx = np.asarray(x, np.float64) * factor
+    cy = np.asarray(y, np.float64) * factor
+    side = np.asarray(scale, np.float64) * 10.0
+    return cx, cy, side, np.asarray(orientation_deg, np.float64)
+
+
+def square_corners(x: float, y: float, side: float, angle_deg: float):
+    """The 4 corners of a side x side square centred at (x, y), rotated by
+    `angle_deg` — cv::RotatedRect::points() semantics (degrees, clockwise
+    in image coordinates; ref main.cpp:66-74). Order: top-left, top-right,
+    bottom-right, bottom-left of the unrotated square."""
+    half = 0.5 * float(side)
+    rad = math.radians(float(angle_deg))
+    c, sn = math.cos(rad), math.sin(rad)
+    return [(x + dx * c - dy * sn, y + dx * sn + dy * c)
+            for dx, dy in ((-half, -half), (half, -half),
+                           (half, half), (-half, half))]
+
+
 def draw_keypoints(rgb: np.ndarray, xs, ys, sides, angles_deg,
                    color=(0, 0, 255)) -> np.ndarray:
     """Draw each keypoint as a rotated square outline (ref main.cpp:59-74).
@@ -91,13 +119,7 @@ def draw_keypoints(rgb: np.ndarray, xs, ys, sides, angles_deg,
     im = Image.fromarray(rgb.astype(np.uint8), mode="RGB")
     drw = ImageDraw.Draw(im)
     for x, y, s, a in zip(xs, ys, sides, angles_deg):
-        half = 0.5 * float(s)
-        rad = math.radians(float(a))
-        c, sn = math.cos(rad), math.sin(rad)
-        # Corners of an axis-aligned square rotated by `a` about the center.
-        pts = []
-        for dx, dy in ((-half, -half), (half, -half), (half, half), (-half, half)):
-            pts.append((x + dx * c - dy * sn, y + dx * sn + dy * c))
+        pts = square_corners(float(x), float(y), float(s), float(a))
         drw.line([pts[0], pts[1], pts[2], pts[3], pts[0]], fill=color, width=1)
     return np.asarray(im)
 
@@ -146,9 +168,9 @@ def cmd_extract(args) -> int:
     if args.time:
         print(f"extract wall time: {t1 - t0:.3f}s (includes compile on first call)")
 
-    div = 2.0 if cfg.subpixel else 1.0
-    xs = kp["x"][valid] * np.exp2(kp["octave"][valid].astype(np.float64)) / div
-    ys = kp["y"][valid] * np.exp2(kp["octave"][valid].astype(np.float64)) / div
+    xs, ys, sides, angles = viz_geometry(
+        kp["x"][valid], kp["y"][valid], kp["octave"][valid],
+        kp["scale"][valid], kp["orientation"][valid], cfg.subpixel)
 
     if not args.no_viz:
         from sift_tpu.io.image import save_image_rgb
@@ -156,8 +178,7 @@ def cmd_extract(args) -> int:
 
         with Image.open(img_file) as im:
             rgb = np.asarray(im.convert("RGB"))
-        overlay = draw_keypoints(rgb, xs, ys, kp["scale"][valid] * 10.0,
-                                 kp["orientation"][valid])
+        overlay = draw_keypoints(rgb, xs, ys, sides, angles)
         out_png = img_file + "_orientation.png"
         save_image_rgb(out_png, overlay)
         print(f"wrote {out_png}")

@@ -22,6 +22,7 @@ Pipeline states:
 from __future__ import annotations
 
 import functools
+import time
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -319,6 +320,34 @@ class SfmPipeline:
                 (kp_batch, jnp.arange(B, dtype=jnp.int32)))
             return out                                   # (B, 8)
 
+        def _promo_lm_table(payload, lms_kf_p, has_lm_kf_p, N):
+            """Device-side replay of `_promote_keyframe`'s landmark
+            bookkeeping: the promoted frame's per-keypoint landmark table
+            [(N, 3) positions, (N,) has] from a `_kf_track_body` payload —
+            inlier 2D-3D matches adopt the ref keyframe's landmark, good
+            no-landmark triangulations spawn one (same assignment order as
+            the host: 2D-3D first, then triangulated). Lets a SECOND
+            in-chunk promotion guided-match against the first one without
+            any host round trip."""
+            Mcap = cfg.match.max_matches
+            ia = payload[0:Mcap].astype(jnp.int32)
+            ib = payload[Mcap:2 * Mcap].astype(jnp.int32)
+            inl = payload[3 * Mcap:4 * Mcap] > 0.5
+            tri = payload[4 * Mcap:8 * Mcap].reshape(Mcap, 4)
+            lmof = has_lm_kf_p[ia]
+            take_lm = inl & lmof
+            tri_ok = tri[:, 3] > 0.5        # already masked to no-lm rows
+            # Masked scatters: non-participating rows land in dump slot N.
+            pos = jnp.zeros((N + 1, 3), jnp.float32)
+            hasv = jnp.zeros((N + 1,), bool)
+            idx_t = jnp.where(take_lm, ib, N)
+            pos = pos.at[idx_t].set(lms_kf_p[ia])
+            hasv = hasv.at[idx_t].set(take_lm)
+            idx_r = jnp.where(tri_ok, ib, N)
+            pos = pos.at[idx_r].set(tri[:, :3])
+            hasv = hasv.at[idx_r].set(tri_ok)
+            return pos[:N], hasv[:N]
+
         @jax.jit
         def _track_chunk_promo(key, pose0, vel0, since0, nf, desc_ref,
                                valid_ref, lms_ref, kp_batch, pose_kf,
@@ -335,52 +364,89 @@ class SfmPipeline:
             poses, the promotion frame index, the match/inlier/triangulation
             payload, and the promoted frame's keypoint metadata — comes
             down in the chunk's single packed buffer, and the promoted
-            frame's descriptors stay on device as a second (unread) output.
+            frame's descriptors stay on device as an extra (unread) output.
 
-            Returns (packed, desc_p, valid_p) with packed =
-            [per-frame (B, 8) | promote_at | kf_payload (8M+8) | meta (4N)].
+            Chunks larger than 8 frames fuse up to B//8 promotions: each
+            later promotion guided-matches against the PREVIOUS promoted
+            frame, whose landmark table is reconstructed on device from the
+            previous payload (`_promo_lm_table`) — so a 16-frame chunk with
+            two promotions still costs ONE dispatch + ONE packed read.
+
+            Returns (packed, [desc_p, valid_p] per promo slot) with packed =
+            [per-frame (B, 8) | promote_at (P) | payloads (P, 8M+8) |
+             metas (P, 4N)].
             """
             out = _chunk_scan(key, pose0, vel0, desc_ref, valid_ref,
                               lms_ref, kp_batch)
             B = out.shape[0]
+            P = max(1, B // 8)              # fused promotion slots
             n_inl = out[:, 6].astype(jnp.int32)
             min_inl = cfg.keyframe_min_inliers // 2
-            real = jnp.arange(B, dtype=jnp.int32) < nf
+            iota = jnp.arange(B, dtype=jnp.int32)
+            real = iota < nf
             tracked_all = jnp.all(jnp.logical_not(real) |
                                   (n_inl >= min_inl))
-            since = since0 + 1 + jnp.arange(B, dtype=jnp.int32)
-            qualify = real & ((n_inl < cfg.kf_min_tracked) |
-                              (since >= cfg.kf_max_interval))
-            any_q = jnp.any(qualify) & tracked_all
-            pa = jnp.argmax(qualify)            # first qualifying frame
-            promote_at = jnp.where(any_q, pa, -1)
-
-            kp_p = jax.tree.map(
-                lambda a: lax.dynamic_index_in_dim(a, pa, 0, keepdims=False),
-                kp_batch)
             f32 = jnp.float32
-            meta = jnp.stack([kp_p.x, kp_p.y,
-                              kp_p.octave.astype(f32),
-                              kp_p.valid.astype(f32)])
-            factor = jnp.exp2(kp_p.octave.astype(f32)) / uv_div
-            uv_b = jnp.stack([kp_p.x * factor, kp_p.y * factor], -1)
-            pose_seed = out[pa, :6]
             Mcap = cfg.match.max_matches
+            N = kp_batch.x.shape[1]
 
-            def do_promo(_):
-                return _kf_track_body(
-                    True, jax.random.fold_in(key, 0x5EED), pose_seed,
-                    pose_kf, desc_kf, valid_kf, lms_kf, has_lm_kf, uv_kf,
-                    kp_p.desc, kp_p.valid, uv_b)
+            low = n_inl < cfg.kf_min_tracked
+            since = since0 + 1 + iota
+            gate = jnp.ones((B,), bool)
+            prev_any = tracked_all
+            # Previous-promo reference buffers (start: the last keyframe).
+            ref = dict(pose=pose_kf, desc=desc_kf, valid=valid_kf,
+                       lms=lms_kf, has=has_lm_kf, uv=uv_kf)
+            promote_ats, payloads, metas, desc_out = [], [], [], []
+            for pi in range(P):
+                qualify = real & gate & (
+                    low | (since >= cfg.kf_max_interval))
+                any_q = prev_any & jnp.any(qualify)
+                pa = jnp.argmax(qualify)
+                promote_ats.append(jnp.where(any_q, pa, -1).astype(f32))
 
-            def no_promo(_):
-                return jnp.zeros((8 * Mcap + 8,), f32)
+                kp_p = jax.tree.map(
+                    lambda a: lax.dynamic_index_in_dim(a, pa, 0,
+                                                       keepdims=False),
+                    kp_batch)
+                meta = jnp.stack([kp_p.x, kp_p.y,
+                                  kp_p.octave.astype(f32),
+                                  kp_p.valid.astype(f32)])
+                factor = jnp.exp2(kp_p.octave.astype(f32)) / uv_div
+                uv_b = jnp.stack([kp_p.x * factor, kp_p.y * factor], -1)
+                pose_seed = out[pa, :6]
+                r = ref
 
-            kf_payload = lax.cond(any_q, do_promo, no_promo, None)
-            packed = jnp.concatenate([
-                out.reshape(-1), promote_at.astype(f32)[None],
-                kf_payload, meta.reshape(-1)])
-            return packed, kp_p.desc, kp_p.valid
+                def do_promo(_):
+                    return _kf_track_body(
+                        True, jax.random.fold_in(key, 0x5EED + pi),
+                        pose_seed, r["pose"], r["desc"], r["valid"],
+                        r["lms"], r["has"], r["uv"],
+                        kp_p.desc, kp_p.valid, uv_b)
+
+                def no_promo(_):
+                    return jnp.zeros((8 * Mcap + 8,), f32)
+
+                payload = lax.cond(any_q, do_promo, no_promo, None)
+                payloads.append(payload)
+                metas.append(meta.reshape(-1))
+                desc_out.extend([kp_p.desc, kp_p.valid])
+
+                if pi + 1 < P:
+                    # Next promo tracks relative to THIS promoted frame.
+                    lms_p, has_p = _promo_lm_table(payload, r["lms"],
+                                                   r["has"], N)
+                    ref = dict(pose=payload[8 * Mcap:8 * Mcap + 6],
+                               desc=kp_p.desc, valid=kp_p.valid,
+                               lms=lms_p, has=has_p, uv=uv_b)
+                    since = iota - pa           # frames since this promo
+                    gate = iota > pa
+                    prev_any = any_q
+
+            packed = jnp.concatenate(
+                [out.reshape(-1)] + [a[None] for a in promote_ats]
+                + payloads + metas)
+            return (packed,) + tuple(desc_out)
 
         def _tri_pair(pose_a, pose_b, pa, pb):
             """(M,) pixel pairs -> (M, 4) [X | good] (shared by the
@@ -662,8 +728,16 @@ class SfmPipeline:
         self._jit_triangulate = _triangulate
         self._jit_window_ba = _window_ba
         self._jit_window_ba_track = _window_ba_track
-        self._pending_ba = None   # (BAState device handle, window kfs, uniq, L)
+        # In-flight async window-BA solves, oldest first. A small QUEUE
+        # (not a single slot): a multi-promotion chunk dispatches two
+        # solves back-to-back, and blocking the second promotion on the
+        # first's result costs a full device-queue drain (~90 ms measured,
+        # r3). Between dispatch and apply the landmark array only ever
+        # APPENDS, so each solve's landmark indices stay valid; mutating
+        # operations (PGO, compaction, save/load, global BA) flush first.
+        self._pending_ba = []  # [(packed handle, window kfs, uniq, L, O, seq)]
         self._ba_kickoff = None   # deferred _run_window_ba args (chunk path)
+        self._chunk_seq = 0       # chunk counter: ages pending BA entries
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -836,7 +910,11 @@ class SfmPipeline:
             kp_next = None
             # Prefetch the next chunk's transfer behind this chunk's
             # device work and blocking result read.
+            ph = getattr(self, "_phase_log", None)
+            tu = time.perf_counter() if ph is not None else 0.0
             nxt = upload(start + batch) if start + batch < n else None
+            if ph is not None:
+                ph.setdefault("upload", []).append(time.perf_counter() - tu)
 
             def _extract_ahead():
                 # Dispatch the NEXT chunk's extraction before this chunk's
@@ -923,7 +1001,10 @@ class SfmPipeline:
         B = int(kp_batch.x.shape[0])
         N = int(kp_batch.x.shape[1])
         M = cfg.match.max_matches
-        packed_dev, desc_p, valid_p = self._jit_track_chunk_promo(
+        P = max(1, B // 8)                           # fused promotion slots
+        ph = getattr(self, "_phase_log", None)       # benchmark introspection
+        t0 = time.perf_counter() if ph is not None else 0.0
+        res = self._jit_track_chunk_promo(
             self._next_key(), jnp.asarray(pose0), jnp.asarray(vel0),
             jnp.int32(self._frames_since_kf), jnp.int32(n_frames),
             desc_ref, jnp.asarray(valid_ref),
@@ -932,21 +1013,32 @@ class SfmPipeline:
             jnp.asarray(ref_kf.kp["valid"]),
             jnp.asarray(lms_a.astype(np.float32)), jnp.asarray(has),
             jnp.asarray(uv_a))
+        packed_dev, desc_valid_p = res[0], res[1:]
         if after_dispatch is not None:
             after_dispatch()       # e.g. next chunk's extract (see caller)
         # A BA deferred by the previous chunk's promotion dispatches NOW —
         # behind this chunk's track + extract programs — so the blocking
         # read below never waits on a solve.
         self._kickoff_ba()
+        if ph is not None:
+            t1 = time.perf_counter()
+            ph.setdefault("chunk_dispatch", []).append(t1 - t0)
         arr = np.asarray(packed_dev)                 # the chunk's ONE read
+        if ph is not None:
+            ph.setdefault("chunk_read", []).append(time.perf_counter() - t1)
         per_frame = arr[:B * 8].reshape(B, 8)[:n_frames]
         n_inls = per_frame[:, 6].astype(np.int32)
         min_inl = cfg.keyframe_min_inliers // 2
         if not (n_inls >= min_inl).all():
             return False            # lost frame: per-frame path handles it
-        promote_at = int(arr[B * 8])
+        promote_ats = arr[B * 8:B * 8 + P].astype(np.int32)
+        pay0 = B * 8 + P
+        meta0 = pay0 + P * (8 * M + 8)
         self.chunk_stats["chunks"] += 1
+        self._chunk_seq += 1       # ages pending BA entries (see _flush_ba)
 
+        promote_of = {int(pa): pi for pi, pa in enumerate(promote_ats)
+                      if pa >= 0}
         for bi in range(n_frames):
             self._frame_idx += 1
             out = dict(pose=per_frame[bi, :6].astype(np.float32),
@@ -954,15 +1046,23 @@ class SfmPipeline:
                        n_inliers=int(n_inls[bi]),
                        rmse=float(per_frame[bi, 7]), state=self.state,
                        frame_idx=self._frame_idx)
-            if bi == promote_at:
-                payload = arr[B * 8 + 1:B * 8 + 1 + 8 * M + 8]
-                meta = arr[B * 8 + 1 + 8 * M + 8:].reshape(4, N)
-                kp = self._kp_from_meta(meta, desc_p)
+            if bi in promote_of:
+                pi = promote_of[bi]
+                payload = arr[pay0 + pi * (8 * M + 8):
+                              pay0 + (pi + 1) * (8 * M + 8)]
+                meta = arr[meta0 + pi * 4 * N:
+                           meta0 + (pi + 1) * 4 * N].reshape(4, N)
+                kp = self._kp_from_meta(meta, desc_valid_p[2 * pi])
+                # Promo slot > 0 was matched against the PREVIOUS promoted
+                # frame (now the last keyframe) — exactly `ref_kf` when
+                # pi == 0, keyframes[-1] afterwards.
+                ref_i = ref_kf if pi == 0 else self.keyframes[-1]
                 pose, inliers, sel, m, lm_of_match, tri = \
-                    self._decode_kf_payload(payload, ref_kf)
+                    self._decode_kf_payload(payload, ref_i)
                 self._promote_keyframe(kp, pose, m, inliers, sel,
-                                       lm_of_match, tri=tri,
-                                       defer_ba=cfg.ba_defer_kickoff)
+                                       lm_of_match, tri=tri, ref_kf=ref_i,
+                                       defer_ba=cfg.ba_defer_kickoff,
+                                       ba_seq=self._chunk_seq)
                 self.chunk_stats["fused_promotions"] += 1
                 self._frames_since_kf = 0
                 out["pose"] = self.keyframes[-1].pose
@@ -1069,9 +1169,9 @@ class SfmPipeline:
             self.keyframes.append(kf)
         self._map_version += 1
         self._local_map_cache = None
-        # A deferred BA result from the PRE-load map must never be applied
-        # to the loaded one (its landmark indices belong to the old map).
-        self._pending_ba = None
+        # Deferred BA results from the PRE-load map must never be applied
+        # to the loaded one (their landmark indices belong to the old map).
+        self._pending_ba = []
         self._ba_kickoff = None
         self._global_index = None
         for i, kf in enumerate(self.keyframes):
@@ -1463,7 +1563,8 @@ class SfmPipeline:
                           depth: Optional[np.ndarray] = None,
                           ref_kf: Optional[Keyframe] = None,
                           tri: Optional[np.ndarray] = None,
-                          defer_ba: bool = False):
+                          defer_ba: bool = False,
+                          ba_seq: Optional[int] = None):
         """`ref_kf`: the keyframe the match `m` was computed against
         (defaults to the last keyframe; relocalization passes its hit).
         `tri`: optional (M, 4) [X | good] per match slot from the fused
@@ -1473,8 +1574,12 @@ class SfmPipeline:
         kickoff that the chunked tracker issues AFTER the next chunk's
         track+extract dispatches, so the solve rides behind the chunk's
         blocking read instead of serializing in front of it (the measured
-        read wait is the device queue: BA + track; see BENCH.md r3)."""
-        self._flush_ba()     # promotion reads/writes poses + landmarks
+        read wait is the device queue: BA + track; see BENCH.md r3).
+        `ba_seq`: the dispatching chunk's sequence number (chunk path) —
+        flushes only OLDER solves, so a multi-promotion chunk's second
+        promotion never blocks on the first's in-flight BA; None (the
+        per-frame path) drains fully, exactly the pre-queue behavior."""
+        self._flush_ba(before_seq=ba_seq)
         kf_prev = ref_kf if ref_kf is not None else self.keyframes[-1]
         valid = np.asarray(m.valid)
         ia, ib = np.asarray(m.idx_a), np.asarray(m.idx_b)
@@ -2116,19 +2221,23 @@ class SfmPipeline:
         if self.cfg.ba_async:
             # Deferred: JAX dispatch is asynchronous — keep the device
             # handles and apply the results before the map state is next
-            # mutated (next promotion / PGO / finalize). Tracking frames in
-            # between run against the pre-BA poses, which a window's worth
-            # of robust localization tolerates by design.
-            # Start the device->host copy NOW: the transfer rides behind
-            # the BA program and the tracking chunks that follow, so the
-            # blocking read in `_flush_ba` at the next promotion finds the
-            # bytes already on the host instead of paying a full tunnel
-            # round trip on the critical path.
+            # mutated destructively (PGO / compaction / save / finalize).
+            # Tracking frames in between run against the pre-BA poses,
+            # which a window's worth of robust localization tolerates by
+            # design. Start the device->host copy NOW: the transfer rides
+            # behind the BA program and the tracking chunks that follow,
+            # so the blocking read in `_flush_ba` finds the bytes already
+            # on the host instead of paying a tunnel round trip.
             try:
                 st.copy_to_host_async()
             except (AttributeError, NotImplementedError):
                 pass                       # backend without async D2H
-            self._pending_ba = (st, list(window), uniq, L, O)
+            self._pending_ba.append((st, list(window), uniq, L, O,
+                                     self._chunk_seq))
+            # Bound the in-flight queue: anything two promotions old has
+            # had a full chunk of device time — applying it is free.
+            while len(self._pending_ba) > 2:
+                self._apply_ba_result(*self._pending_ba.pop(0)[:5])
             return
         self._apply_ba_result(st, window, uniq, L, O)
 
@@ -2153,14 +2262,17 @@ class SfmPipeline:
             kw, self._ba_kickoff = self._ba_kickoff, None
             self._run_window_ba(**kw)
 
-    def _flush_ba(self):
-        """Apply a deferred window-BA result, if any (dispatching a
-        still-pending deferred kickoff first)."""
+    def _flush_ba(self, before_seq: Optional[int] = None):
+        """Apply deferred window-BA results in dispatch order (dispatching
+        a still-pending deferred kickoff first). `before_seq`: only apply
+        solves dispatched before that chunk — a multi-promotion chunk's
+        second promotion must not block on the solve its first promotion
+        dispatched microseconds earlier (a full device-queue drain, ~90 ms
+        measured r3); destructive operations pass None and drain fully."""
         self._kickoff_ba()
-        if self._pending_ba is not None:
-            st, window, uniq, L, O = self._pending_ba
-            self._pending_ba = None
-            self._apply_ba_result(st, window, uniq, L, O)
+        while self._pending_ba and (
+                before_seq is None or self._pending_ba[0][5] < before_seq):
+            self._apply_ba_result(*self._pending_ba.pop(0)[:5])
 
     def finalize(self):
         """Flush deferred work (async window BA). Call at sequence end."""

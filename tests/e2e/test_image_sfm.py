@@ -189,7 +189,7 @@ def test_async_deferred_ba_keeps_accuracy(frames):
         pipe.process_frame(f)
     pipe.finalize()
     assert pipe.state == "tracking"
-    assert pipe._pending_ba is None
+    assert not pipe._pending_ba
     gt = np.stack([[STEP * i, 0.0, 0.0] for i in range(N_FRAMES)])
     ate = ate_rmse(pipe.positions(), gt, align=True, with_scale=True)
     assert ate < 0.05, ate
@@ -210,6 +210,31 @@ def test_chunked_tracking_matches_per_frame_ate():
     assert pipe.state == "tracking"
     assert pipe.chunk_stats["chunks"] >= 2, pipe.chunk_stats
     assert pipe.chunk_stats["fused_promotions"] >= 1, pipe.chunk_stats
+    tracked = [r["tracked"] for r in pipe.trajectory]
+    assert np.mean(tracked) > 0.7, tracked
+    gt = np.stack([[STEP * i, 0.0, 0.0] for i in range(n)])
+    ate = ate_rmse(pipe.positions(), gt, align=True, with_scale=True)
+    assert ate < 0.05, ate
+
+
+@pytest.mark.slow
+def test_multi_promotion_chunk_matches_per_frame_ate():
+    """Chunks larger than 8 frames fuse up to B//8 promotions into the
+    single chunk dispatch, the second one guided-matched ON DEVICE against
+    the first promoted frame (its landmark table is reconstructed from the
+    first payload). The trajectory must hold the per-frame ATE bound, and
+    at least one chunk must actually promote twice."""
+    n = 40
+    seq = [_render(STEP * i) for i in range(n)]
+    cfg = _cfg().replace(chunked_tracking=True, ba_async=True,
+                         kf_max_interval=6)
+    pipe = SfmPipeline(INTR, cfg)
+    pipe.process_sequence(seq, batch=16)
+    assert pipe.state == "tracking"
+    st = pipe.chunk_stats
+    assert st["chunks"] >= 2, st
+    # More fused promotions than chunks == some chunk promoted twice.
+    assert st["fused_promotions"] > st["chunks"], st
     tracked = [r["tracked"] for r in pipe.trajectory]
     assert np.mean(tracked) > 0.7, tracked
     gt = np.stack([[STEP * i, 0.0, 0.0] for i in range(n)])

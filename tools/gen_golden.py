@@ -112,7 +112,11 @@ def main():
     pkp, pdesc = rows_to_arrays(ref)
     per_oct = np.bincount(pkp[:, 0].astype(int), minlength=4)
     print(f"  parrot per-octave keypoints: {per_oct.tolist()}")
-    parrot_blob = {"kp": pkp, "desc": pdesc,
+    # Orientations ride along for the visualization golden (they are NOT
+    # in `kp` because rows_to_arrays predates them; NaN values are the
+    # reference's singular-parabola quirk and compare with equal_nan).
+    pori = np.asarray([r[5] for r in ref], np.float32)
+    parrot_blob = {"kp": pkp, "desc": pdesc, "ori": pori,
                    "image_sha": np.frombuffer(
                        __import__("hashlib").sha256(gray.tobytes()).digest(),
                        np.uint8)}
