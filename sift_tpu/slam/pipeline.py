@@ -1014,11 +1014,9 @@ class SfmPipeline:
             jnp.asarray(lms_a.astype(np.float32)), jnp.asarray(has),
             jnp.asarray(uv_a))
         packed_dev, desc_valid_p = res[0], res[1:]
-        if after_dispatch is not None:
-            after_dispatch()       # e.g. next chunk's extract (see caller)
         # A BA deferred by the previous chunk's promotion dispatches NOW —
-        # behind this chunk's track + extract programs — so the blocking
-        # read below never waits on a solve.
+        # behind this chunk's track program — so the blocking read below
+        # never waits on a solve.
         self._kickoff_ba()
         if ph is not None:
             t1 = time.perf_counter()
@@ -1026,6 +1024,14 @@ class SfmPipeline:
         arr = np.asarray(packed_dev)                 # the chunk's ONE read
         if ph is not None:
             ph.setdefault("chunk_read", []).append(time.perf_counter() - t1)
+        if after_dispatch is not None:
+            # Next chunk's extraction dispatches AFTER the read: the read
+            # waits on everything submitted before it (measured r3 — the
+            # pre-read ahead-extract added its full device time to every
+            # chunk's read), while a post-read dispatch executes during
+            # the ~40 ms host decode/promotion window below, overlapping
+            # device work with host work instead of with the read.
+            after_dispatch()
         per_frame = arr[:B * 8].reshape(B, 8)[:n_frames]
         n_inls = per_frame[:, 6].astype(np.int32)
         min_inl = cfg.keyframe_min_inliers // 2
@@ -1059,10 +1065,15 @@ class SfmPipeline:
                 ref_i = ref_kf if pi == 0 else self.keyframes[-1]
                 pose, inliers, sel, m, lm_of_match, tri = \
                     self._decode_kf_payload(payload, ref_i)
+                # If another fused promotion follows in THIS chunk, its
+                # window BA re-optimizes this keyframe moments later —
+                # skip the redundant intermediate solve.
+                later = any(pa > bi for pa in promote_ats if pa >= 0)
                 self._promote_keyframe(kp, pose, m, inliers, sel,
                                        lm_of_match, tri=tri, ref_kf=ref_i,
                                        defer_ba=cfg.ba_defer_kickoff,
-                                       ba_seq=self._chunk_seq)
+                                       ba_seq=self._chunk_seq,
+                                       skip_ba=later)
                 self.chunk_stats["fused_promotions"] += 1
                 self._frames_since_kf = 0
                 out["pose"] = self.keyframes[-1].pose
@@ -1564,7 +1575,8 @@ class SfmPipeline:
                           ref_kf: Optional[Keyframe] = None,
                           tri: Optional[np.ndarray] = None,
                           defer_ba: bool = False,
-                          ba_seq: Optional[int] = None):
+                          ba_seq: Optional[int] = None,
+                          skip_ba: bool = False):
         """`ref_kf`: the keyframe the match `m` was computed against
         (defaults to the last keyframe; relocalization passes its hit).
         `tri`: optional (M, 4) [X | good] per match slot from the fused
@@ -1655,7 +1667,11 @@ class SfmPipeline:
             # Before the window-BA kickoff: nothing is pending here, so
             # the compaction's flush never blocks on an in-flight solve.
             self.compact_landmarks()
-        if defer_ba:
+        if skip_ba:
+            # A second promotion from the same chunk follows immediately
+            # and its window covers this keyframe — one solve suffices.
+            pass
+        elif defer_ba:
             self._ba_kickoff = dict(fix_first_n=2)
         else:
             self._run_window_ba(fix_first_n=2)
@@ -2194,6 +2210,17 @@ class SfmPipeline:
         if L < 8 or O < 24:
             return
 
+        # Bucketed capacities: the window problem is usually FAR smaller
+        # than the configured ceilings (measured L~120-210 / O~240-780 vs
+        # caps 2048/8192 in the r3 bench), and the dense-Schur einsum
+        # passes cost ~linearly in the PADDED sizes. Pad to the smallest
+        # of three compiled shapes that fits — identical masked math,
+        # ~an order of magnitude less BA device time at typical sizes.
+        for frac in (8, 2, 1):
+            if L <= Lcap // frac and O <= Ocap // frac:
+                Lcap, Ocap = max(Lcap // frac, 8), max(Ocap // frac, 32)
+                break
+
         lms = np.zeros((Lcap, 3), np.float32)
         lms[:L] = self.landmarks[uniq]
         obs_cam = np.zeros(Ocap, np.int32)
@@ -2246,7 +2273,10 @@ class SfmPipeline:
         iters] — one host read applies the whole result."""
         packed = np.asarray(packed)
         C = self.cfg.window_size
-        Lcap = self.cfg.ba_max_landmarks
+        # Landmark capacity is BUCKETED per solve (see _run_window_ba);
+        # recover it from the buffer layout [poses C*6 | lms Lcap*3 |
+        # rmse | iters] rather than the config ceiling.
+        Lcap = (packed.shape[0] - C * 6 - 2) // 3
         new_poses = packed[:C * 6].reshape(C, 6).astype(np.float32)
         new_lms = packed[C * 6:C * 6 + Lcap * 3].reshape(Lcap, 3)
         for ci, kf in enumerate(window):
