@@ -213,6 +213,14 @@ def load_kitti_odometry(root: str, sequence: str = "00",
     intrinsics, baseline = _read_kitti_calib(
         os.path.join(seq_dir, "calib.txt"))
 
+    # times.txt: one scientific-notation second per frame (real dialect);
+    # fall back to a nominal 10 Hz when absent.
+    times_path = os.path.join(seq_dir, "times.txt")
+    times = None
+    if os.path.exists(times_path):
+        with open(times_path) as fh:
+            times = [float(x) for x in fh.read().split()]
+
     poses_path = os.path.join(root, "poses", sequence + ".txt")
     gt_poses = []
     if os.path.exists(poses_path):
@@ -232,7 +240,9 @@ def load_kitti_odometry(root: str, sequence: str = "00",
             if os.path.exists(rp):
                 gray_r = _load_gray(rp, allow_uint8=True)
         gtp = gt_poses[i] if i < len(gt_poses) else None
-        frames.append(Frame(index=len(frames), timestamp=float(i) * 0.1,
+        ts = times[i] if times is not None and i < len(times) \
+            else float(i) * 0.1
+        frames.append(Frame(index=len(frames), timestamp=ts,
                             gray=gray, gray_right=gray_r, gt_pose=gtp))
         if max_frames is not None and len(frames) >= max_frames:
             break

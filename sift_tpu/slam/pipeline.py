@@ -892,68 +892,87 @@ class SfmPipeline:
 
         results = []
         n = len(frames)
-        nxt = upload(0) if n else None
-        kp_next = None          # extract dispatched one chunk ahead
-        for start in range(0, n, batch):
-            imgs_dev, n_chunk = nxt
-            stereo_z = None
-            if rights is not None:
-                # Stereo chunk: both sides extracted batched, per-keypoint
-                # depths for the whole chunk in one dispatch + ONE read.
-                kp_batch = _extract_batch(imgs_dev[0])
-                kp_r_batch = _extract_batch(imgs_dev[1])
-                stereo_z = np.asarray(
-                    self._jit_stereo_batch(kp_batch, kp_r_batch))
-            else:
-                kp_batch = kp_next if kp_next is not None \
-                    else _extract_batch(imgs_dev)
-            kp_next = None
-            # Prefetch the next chunk's transfer behind this chunk's
-            # device work and blocking result read.
-            ph = getattr(self, "_phase_log", None)
-            tu = time.perf_counter() if ph is not None else 0.0
-            nxt = upload(start + batch) if start + batch < n else None
-            if ph is not None:
-                ph.setdefault("upload", []).append(time.perf_counter() - tu)
-
-            def _extract_ahead():
-                # Dispatch the NEXT chunk's extraction before this chunk's
-                # blocking read: extraction has no data dependency on the
-                # tracking results, so the device runs it while the host
-                # waits on the read RTT and does the promotion bookkeeping
-                # (idempotent — safe to call from several fall-through
-                # paths).
-                nonlocal kp_next
-                if cfg.extract_ahead and rights is None \
-                        and kp_next is None and nxt is not None:
-                    kp_next = _extract_batch(nxt[0])
-
-            if cfg.chunked_tracking and depths is None and rights is None \
-                    and self.state == "tracking" and cfg.use_local_map:
-                if self._process_chunk_tracked(kp_batch, n_chunk, results,
-                                               after_dispatch=_extract_ahead):
-                    continue        # whole chunk handled in one dispatch
-
-            _extract_ahead()
-            for bi in range(n_chunk):
-                kp_i = jax.tree.map(lambda a: a[bi], kp_batch)
-                self._frame_idx += 1
-                depth = depths[start + bi] if depths is not None else None
-                if stereo_z is not None:
-                    depth = stereo_z[bi]          # (N,) per-keypoint depths
-                if self.state == "bootstrap":
-                    kp = _np_kp(kp_i, cfg.sift.subpixel)
-                    out = (self._bootstrap_rgbd(kp, depth) if depth is not None
-                           else self._bootstrap_step(kp))
+        # Uploads run on a single worker thread: the ~22 ms/chunk of
+        # host-blocking transfer prep (np.stack + device_put of a 16xVGA
+        # uint8 chunk) comes OFF the host critical path, which is what the
+        # chunk cycle is balanced against (device work overlaps the host
+        # decode window — see _process_chunk_tracked).
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=1)
+        try:
+            nxt_fut = pool.submit(upload, 0) if n else None
+            kp_next = None          # extract dispatched one chunk ahead
+            for start in range(0, n, batch):
+                ph = getattr(self, "_phase_log", None)
+                tu = time.perf_counter() if ph is not None else 0.0
+                nxt = nxt_fut.result()
+                if ph is not None:
+                    ph.setdefault("upload_wait", []).append(
+                        time.perf_counter() - tu)
+                imgs_dev, n_chunk = nxt
+                stereo_z = None
+                if rights is not None:
+                    # Stereo chunk: both sides extracted batched, per-
+                    # keypoint depths for the whole chunk in one dispatch
+                    # + ONE read.
+                    kp_batch = _extract_batch(imgs_dev[0])
+                    kp_r_batch = _extract_batch(imgs_dev[1])
+                    stereo_z = np.asarray(
+                        self._jit_stereo_batch(kp_batch, kp_r_batch))
                 else:
-                    out = self._tracking_step(kp_i, depth)
-                out["frame_idx"] = self._frame_idx
-                self.trajectory.append(out)
-                results.append(out)
-                if self.logger is not None:
-                    self.logger.log("frame", **{
-                        k: v for k, v in out.items()
-                        if not isinstance(v, np.ndarray)})
+                    kp_batch = kp_next if kp_next is not None \
+                        else _extract_batch(imgs_dev)
+                kp_next = None
+                # Prefetch the next chunk's transfer behind this chunk's
+                # device work and blocking result read.
+                nxt_fut = (pool.submit(upload, start + batch)
+                           if start + batch < n else None)
+                cur_fut = nxt_fut
+
+                def _extract_ahead(fut=None):
+                    # Dispatch the NEXT chunk's extraction behind this
+                    # chunk's device work (idempotent — safe to call from
+                    # several fall-through paths). Called post-read by the
+                    # chunked tracker so the dispatch overlaps the host
+                    # decode window instead of the read.
+                    nonlocal kp_next
+                    f = fut if fut is not None else cur_fut
+                    if cfg.extract_ahead and rights is None \
+                            and kp_next is None and f is not None:
+                        kp_next = _extract_batch(f.result()[0])
+
+                if cfg.chunked_tracking and depths is None \
+                        and rights is None and self.state == "tracking" \
+                        and cfg.use_local_map:
+                    if self._process_chunk_tracked(
+                            kp_batch, n_chunk, results,
+                            after_dispatch=_extract_ahead):
+                        continue    # whole chunk handled in one dispatch
+
+                _extract_ahead()
+                for bi in range(n_chunk):
+                    kp_i = jax.tree.map(lambda a: a[bi], kp_batch)
+                    self._frame_idx += 1
+                    depth = (depths[start + bi]
+                             if depths is not None else None)
+                    if stereo_z is not None:
+                        depth = stereo_z[bi]      # (N,) per-keypoint depths
+                    if self.state == "bootstrap":
+                        kp = _np_kp(kp_i, cfg.sift.subpixel)
+                        out = (self._bootstrap_rgbd(kp, depth)
+                               if depth is not None
+                               else self._bootstrap_step(kp))
+                    else:
+                        out = self._tracking_step(kp_i, depth)
+                    out["frame_idx"] = self._frame_idx
+                    self.trajectory.append(out)
+                    results.append(out)
+                    if self.logger is not None:
+                        self.logger.log("frame", **{
+                            k: v for k, v in out.items()
+                            if not isinstance(v, np.ndarray)})
+        finally:
+            pool.shutdown(wait=True)
         self.finalize()
         return results
 
