@@ -143,3 +143,40 @@ def test_request_cobatching(img):
         v = r["valid"]
         np.testing.assert_allclose(r["x"][v], o["x"][v], atol=1e-4)
         np.testing.assert_allclose(r["desc"][v], o["desc"][v], atol=2e-3)
+
+
+def test_sustained_concurrent_load_coalesces():
+    """Sustained load (32 requests, 8 concurrent workers): the co-batcher
+    must keep dispatches well under one per request, every request must
+    complete, and results must stay internally consistent (same image ->
+    same keypoints regardless of which batch slot served it)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    sift = SiftConfig(mode="lowe", octaves=3, max_keypoints=256,
+                      max_keypoints_per_octave=256)
+    svc = FeatureService(H, W, sift=sift, batch_window_ms=50, max_batch=8)
+    svc.warmup()
+    full = load_image_gray("/root/reference/example/parrot.jpg")
+    base = full[100:100 + H, 60:60 + W]
+    imgs = [np.roll(base, i % 4, axis=1) for i in range(32)]
+
+    # Warm the batched program once so the timed phase measures steady
+    # state, then reset the counters.
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(svc.extract, imgs[:8]))
+    svc.dispatch_stats.update(extract_requests=0, extract_dispatches=0)
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        outs = list(ex.map(svc.extract, imgs))
+
+    st = svc.dispatch_stats
+    assert st["extract_requests"] == 32
+    # 8-way concurrency with an 8-slot batcher: >= 2x coalescing.
+    assert st["extract_dispatches"] <= 16, st
+    # Identical inputs (i % 4) must produce identical outputs.
+    for i in range(4, 32):
+        np.testing.assert_array_equal(outs[i]["valid"],
+                                      outs[i % 4]["valid"])
+        v = outs[i]["valid"]
+        np.testing.assert_allclose(outs[i]["x"][v], outs[i % 4]["x"][v],
+                                   atol=1e-4)
