@@ -1,11 +1,19 @@
-"""Long out-and-back trajectory with a genuine loop: drift + closure ATE.
+"""Long out-and-back trajectory with a GENUINE loop: drift + closure ATE.
 
 VERDICT r2 #2: the e2e scenes were 8-40 frames; nothing scored a long
-trajectory where drift accumulates and loop closure must repair it. This
-runs 220 VGA-class frames out-and-back (the return leg revisits the
-outbound views — a genuine loop for place recognition), full system on:
-loop closure + Sim(3) pose graph + landmark compaction + final global
-BA, and reports sim3-aligned ATE plus throughput.
+trajectory where drift accumulates and loop closure must repair it.
+
+Scene design matters here: the slam_bench scene's planes span a ~7-14 m
+FOV footprint, so a 2.8 m out-and-back never actually LEAVES the start
+region — every keyframe stays genuinely covisible with keyframe 0 and
+the covisibility gate rightly suppresses loop edges (measured r3: 35-65
+shared landmarks between the far end and keyframe 0). This bench
+therefore travels 11+ m over planes at z=4/7 m (FOV footprints 4.6/8 m),
+so the start region fully exits view mid-trajectory and the return leg
+must be recognized by place recognition, not tracked continuously.
+
+Full system on: loop closure + Sim(3) pose graph + landmark compaction +
+final global BA; reports sim3-aligned ATE + closures + throughput.
 
 Usage: python benchmarks/long_loop.py          (JSON lines)
        BENCH_SMALL=1 ...                       (CPU-sized smoke)
@@ -22,10 +30,67 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import slam_bench  # noqa: E402   (scene renderer + base config)
-
 SMALL = bool(int(os.environ.get("BENCH_SMALL", "0")))
-N_OUT = 24 if SMALL else 112       # outbound frames; total = 2*N_OUT - 4
+
+H, W = (180, 240) if SMALL else (480, 600)
+FX = 200.0 if SMALL else 520.0
+Z_TOP, Z_BOT = 4.0, 7.0
+STEP = 0.1                       # m/frame: ~5-13 px/frame of flow
+N_OUT = 28 if SMALL else 112     # out: 11.1 m >> FOV footprint at z_top
+INTR = (FX, FX, W / 2.0, H / 2.0)
+
+_TEX = None
+
+
+def _textures():
+    """Wide bands covering the full pan (fx*t_max/z px) with detail."""
+    import scipy.ndimage as ndi
+    from sift_tpu.io.image import load_image_gray
+    base = load_image_gray("/root/reference/example/parrot.jpg")
+    t_max = STEP * N_OUT
+    need_top = int(W + FX * t_max / Z_TOP) + 120
+    need_bot = int(W + FX * t_max / Z_BOT) + 120
+
+    def band(rows, width, seed):
+        reps = int(np.ceil(width / base.shape[1])) + 1
+        t = np.tile(base[rows[0]:rows[1]], (1, reps))[:, :width]
+        r = np.random.default_rng(seed)
+        blobs = ndi.gaussian_filter(r.random(t.shape), 2.0)
+        blobs = (blobs - blobs.min()) / max(np.ptp(blobs), 1e-9)
+        out = 0.65 * t + 0.35 * 255.0 * blobs
+        out -= out.min()
+        out *= 255.0 / max(np.ptp(out), 1e-9)
+        return out
+
+    t1 = band((40, 40 + H // 2), need_top, 21)
+    t2 = band((300, 300 + H - H // 2), need_bot, 22)
+    return t1, t2
+
+
+def render(tx: float) -> np.ndarray:
+    global _TEX
+    if _TEX is None:
+        _TEX = _textures()
+    t1, t2 = _TEX
+
+    def sample(tex, shift):
+        cols = np.clip(np.arange(W) + shift + 60.0, 0, tex.shape[1] - 2)
+        c0 = np.floor(cols).astype(int)
+        f = cols - c0
+        return tex[:, c0] * (1 - f) + tex[:, c0 + 1] * f
+
+    top = sample(t1, FX * tx / Z_TOP)
+    bot = sample(t2, FX * tx / Z_BOT)
+    img = np.concatenate([top, bot], axis=0)
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+def _cfg():
+    import slam_bench
+    return slam_bench._pipeline_cfg().replace(
+        enable_loop_closure=True, pose_graph_sim3=True,
+        loop_min_inliers=30, loop_max_rmse=2.0,
+        compact_interval_kf=12)
 
 
 def main():
@@ -34,17 +99,13 @@ def main():
     from sift_tpu.slam.pipeline import SfmPipeline
     from sift_tpu.eval.ate import ate_rmse
 
-    txs = ([slam_bench.STEP * i for i in range(N_OUT)]
-           + [slam_bench.STEP * (N_OUT - 3 - i) for i in range(N_OUT - 4)])
-    frames = [slam_bench.render(t) for t in txs]
-    cfg = slam_bench._pipeline_cfg().replace(
-        enable_loop_closure=True, pose_graph_sim3=True,
-        loop_min_inliers=30, loop_max_rmse=2.0,
-        compact_interval_kf=12)
-    pipe = SfmPipeline(slam_bench.INTR, cfg)
+    txs = ([STEP * i for i in range(N_OUT)]
+           + [STEP * (N_OUT - 3 - i) for i in range(N_OUT - 4)])
+    frames = [render(t) for t in txs]
+    pipe = SfmPipeline(INTR, _cfg())
 
     t0 = time.perf_counter()
-    results = pipe.process_sequence(frames, batch=16)
+    results = pipe.process_sequence(frames, batch=8 if SMALL else 16)
     elapsed = time.perf_counter() - t0
 
     # Final global refinement over the whole map.
@@ -60,7 +121,8 @@ def main():
                          with_scale=True))
     print(json.dumps(dict(
         metric="long_loop_ate_m", value=round(ate, 4), unit="m",
-        detail=(f"{len(frames)} frames out-and-back, "
+        detail=(f"{len(frames)} frames out-and-back over "
+                f"{STEP * N_OUT:.1f} m, "
                 f"tracked={float(tracked.mean()):.2f}, "
                 f"keyframes={len(pipe.keyframes)}, "
                 f"landmarks={len(pipe.landmarks)}, "

@@ -96,6 +96,39 @@ def _pgo_sim3_jit(graph):
     return optimize_pose_graph_sim3(graph, iterations=15)
 
 
+# Host-side Sim(3) bookkeeping runs as TWO jitted dispatches, not eager
+# ops: on tunneled backends every eager jnp op is a remote round trip —
+# the eager edge-conversion + delta chain cost ~56 s PER pose-graph run
+# in the r3 long-loop bench (vs 0.1 s for the solve itself).
+@jax.jit
+def _stack_jit(*xs):
+    """Stack device arrays in ONE jitted dispatch (an eager jnp.stack is
+    a remote round trip per call on tunneled backends)."""
+    return jnp.stack(xs)
+
+
+@jax.jit
+def _sim3_edges_jit(ez6, sig):
+    from sift_tpu.geometry import sim3 as sim3m
+    Rz, tz = lie.se3_exp(ez6)
+    return sim3m.sim3_log(jnp.exp(sig), Rz, tz)
+
+
+@jax.jit
+def _sim3_deltas_jit(out7, old6):
+    """(N, 7) optimized Sim(3) logs + (N, 6) old SE(3) logs -> one packed
+    (N, 25) buffer [sd | Rd 9 | td 3 | R_new 9 | t_new 3] per node."""
+    from sift_tpu.geometry import sim3 as sim3m
+    s_new, R_new, t_new = sim3m.sim3_exp(out7)
+    old7 = jnp.concatenate([old6, jnp.zeros_like(old6[:, :1])], -1)
+    s_old, R_old, t_old = sim3m.sim3_exp(old7)
+    sd, Rd, td = sim3m.sim3_compose(
+        s_new, R_new, t_new, *sim3m.sim3_inverse(s_old, R_old, t_old))
+    return jnp.concatenate(
+        [sd[:, None], Rd.reshape(-1, 9), td,
+         R_new.reshape(-1, 9), t_new], -1)
+
+
 # Module-level so repeated run_global_ba calls reuse jax's compilation
 # cache (a per-call jax.jit wrapper would re-trace every invocation).
 _global_ba_jit = jax.jit(run_ba, static_argnums=(7,))
@@ -1351,17 +1384,21 @@ class SfmPipeline:
         self._global_index.add(idx, kf.kp["desc"], kf.kp["valid"])
 
     def _candidate_keyframes(self, kp, k: int,
-                             exclude_from: Optional[int] = None
-                             ) -> np.ndarray:
+                             exclude_from: Optional[int] = None,
+                             min_votes: int = 1) -> np.ndarray:
         """Loop/reloc candidate keyframe indices: descriptor-vote ranking
-        from the global index when available, uniform probing otherwise."""
+        from the global index when available, uniform probing otherwise.
+        `min_votes` drops weak candidates BEFORE the (expensive) fused
+        probe dispatch — a closure ultimately needs `loop_min_inliers`
+        true 2D-3D matches, and the 0.85-cosine vote count upper-bounds
+        them, so sub-threshold candidates can never be accepted anyway."""
         n = len(self.keyframes)
         if self._global_index is not None:
             cand = self._global_index.top_candidates(
-                kp["desc"], kp["valid"], k, exclude_from=exclude_from)
+                kp["desc"], kp["valid"], k, exclude_from=exclude_from,
+                min_votes=min_votes)
             cand = cand[cand < n]
-            if cand.size > 0:
-                return cand
+            return cand
         hi = (n if exclude_from is None else min(exclude_from, n)) - 1
         if hi < 0:
             return np.zeros((0,), int)
@@ -1410,7 +1447,7 @@ class SfmPipeline:
             desc_list.append(jnp.asarray(ref.kp["desc"]))
         while len(desc_list) < Kc:          # pad to the compiled shape
             desc_list.append(desc_list[0])
-        desc_bank = jnp.stack(desc_list)    # device op (desc live there)
+        desc_bank = _stack_jit(*desc_list)  # one jitted dispatch
         uv_q = np.stack([kp["u"], kp["v"]], -1).astype(np.float32)
         packed_in = np.concatenate([
             valid_bank.ravel(), lms_bank.ravel(), has_bank.ravel(),
@@ -1727,7 +1764,7 @@ class SfmPipeline:
             return
         cand_idx = self._candidate_keyframes(
             self.keyframes[new_idx].kp, cfg.loop_candidates,
-            exclude_from=old_max)
+            exclude_from=old_max, min_votes=cfg.loop_min_inliers)
         new_kf = self.keyframes[new_idx]
         new_lms = new_kf.kp_lm[new_kf.kp_lm >= 0]
         # Covisibility gate (host bookkeeping, no dispatch): sharing
@@ -1761,7 +1798,7 @@ class SfmPipeline:
             desc_list.append(jnp.asarray(kf.kp["desc"]))
         while len(desc_list) < Kc:          # pad to the compiled shape
             desc_list.append(desc_list[0])
-        desc_bank = jnp.stack(desc_list)    # device op (desc live there)
+        desc_bank = _stack_jit(*desc_list)  # one jitted dispatch
         uv_q = np.stack([new_kf.kp["u"], new_kf.kp["v"]],
                         -1).astype(np.float32)
         packed_in = np.concatenate([
@@ -1808,12 +1845,13 @@ class SfmPipeline:
                 old_ids = lm_inl
                 dup = (cur_ids >= 0) & (cur_ids != old_ids)
                 if dup.sum() >= 8:
-                    from sift_tpu.geometry import sim3 as sim3m
-                    src = self.landmarks[cur_ids[dup]].astype(np.float32)
-                    dst = self.landmarks[old_ids[dup]].astype(np.float32)
-                    s_u, _, _ = sim3m.umeyama_alignment(
-                        jnp.asarray(src), jnp.asarray(dst),
-                        jnp.ones(src.shape[0], jnp.float32))
+                    # numpy Umeyama: this is tiny host math, and the jnp
+                    # variant would dispatch dozens of EAGER remote ops on
+                    # tunneled backends (seconds per closure).
+                    from sift_tpu.eval.ate import umeyama_alignment
+                    src = self.landmarks[cur_ids[dup]].astype(np.float64)
+                    dst = self.landmarks[old_ids[dup]].astype(np.float64)
+                    s_u, _, _ = umeyama_alignment(src, dst, with_scale=True)
                     s_u = float(np.clip(float(s_u), 0.2, 5.0))
                     sigma = float(np.log(s_u))
 
@@ -2158,9 +2196,10 @@ class SfmPipeline:
         # relative log plus a scalar sigma; the similarity they describe is
         # (e^sigma, R_z, t_z), whose log's v-component differs from the
         # SE(3) one whenever sigma != 0 (W(omega, sigma) != V(omega)).
-        Rz, tz = lie.se3_exp(jnp.asarray(ez6))
-        ez7 = np.asarray(sim3m.sim3_log(jnp.exp(jnp.asarray(sig)), Rz, tz),
-                         np.float32)
+        # ONE jitted dispatch (eager ops here cost a remote round trip
+        # EACH on tunneled backends — measured ~56 s per PGO run).
+        ez7 = np.asarray(_sim3_edges_jit(jnp.asarray(ez6),
+                                         jnp.asarray(sig)), np.float32)
         poses7 = np.zeros((N, 7), np.float32)
         poses7[:n, :6] = old_poses
 
@@ -2168,21 +2207,18 @@ class SfmPipeline:
             poses=jnp.asarray(poses7), edge_i=jnp.asarray(ei),
             edge_j=jnp.asarray(ej), edge_z=jnp.asarray(ez7),
             edge_w=jnp.asarray(ew), fixed=jnp.asarray(fixed))
-        out = np.asarray(_pgo_sim3_jit(graph).poses)          # (N, 7)
+        out = _pgo_sim3_jit(graph).poses                      # (N, 7) dev
 
-        # Similarity deltas D_k = S_new S_old^-1 per node (old sigma = 0).
-        s_new, R_new, t_new = sim3m.sim3_exp(jnp.asarray(out[:n]))
-        s_old, R_old, t_old = sim3m.sim3_exp(
-            jnp.asarray(np.concatenate(
-                [old_poses, np.zeros((n, 1), np.float32)], -1)))
-        sd, Rd, td = sim3m.sim3_compose(
-            s_new, R_new, t_new, *sim3m.sim3_inverse(s_old, R_old, t_old))
-        sd, Rd, td = np.asarray(sd), np.asarray(Rd), np.asarray(td)
-
-        # Batch the device->host conversion (per-element reads would cost a
-        # round trip each on tunneled backends), then pure host math.
-        R_new_h = np.asarray(R_new)
-        t_new_h = np.asarray(t_new)
+        # Similarity deltas D_k = S_new S_old^-1 per node (old sigma = 0):
+        # one jitted dispatch at the padded capacity, ONE packed read.
+        old6 = np.zeros((N, 6), np.float32)
+        old6[:n] = old_poses
+        packed = np.asarray(_sim3_deltas_jit(out, jnp.asarray(old6)))[:n]
+        sd = packed[:, 0]
+        Rd = packed[:, 1:10].reshape(n, 3, 3)
+        td = packed[:, 10:13]
+        R_new_h = packed[:, 13:22].reshape(n, 3, 3)
+        t_new_h = packed[:, 22:25]
         for k in range(n):
             self.keyframes[k].pose = _se3_log_np(R_new_h[k], t_new_h[k])
         ref = self.lm_ref_kf
