@@ -142,7 +142,11 @@ def test_request_cobatching(img):
         np.testing.assert_array_equal(r["valid"], o["valid"])
         v = r["valid"]
         np.testing.assert_allclose(r["x"][v], o["x"][v], atol=1e-4)
-        np.testing.assert_allclose(r["desc"][v], o["desc"][v], atol=2e-3)
+        # One uint8 quantization step (desc_q8 transfer): ~1e-5 numeric
+        # noise between the single and vmapped extractors can flip a
+        # round() at a bin boundary.
+        np.testing.assert_allclose(r["desc"][v], o["desc"][v],
+                                   atol=1.01 / 255)
 
 
 def test_sustained_concurrent_load_coalesces():
