@@ -185,15 +185,15 @@ def descriptors_from_windows(gx, gy, oy0, ox0, orientation_deg,
 
     # bf16 operands halve VPU/MXU cycles; f32 accumulation keeps the
     # histogram sums accurate (descriptors are normalized anyway).
-    # Two-step contraction with a 32-wide fused (tu x ooh) operand: the
-    # 3-operand einsum lowers to 4-and-8-lane batched matmuls that waste
-    # most of the vector unit; pre-fusing the column/orientation tents
-    # into (K, P, 32) makes the contraction a (4, P) @ (P, 32) per
-    # keypoint — measured 2.3x on v5e (0.60 vs 1.39 ms at 8x512 kp).
-    tuo = (tu[..., :, None] * ooh[..., None, :]).reshape(K, P, 32)
-    desc = jnp.einsum("kpa,kpm->kam",
-                      tv.astype(jnp.bfloat16), tuo.astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)  # (K, 4, 32)
+    # (Negative result, r3: pre-fusing tu x ooh into a (K, P, 32) operand
+    # is 2.3x faster ON THE CONTRACTION microbench, but the stage is
+    # elementwise-bound so the end-to-end win was ~0.2 ms — and the extra
+    # bf16 rounding of the fused operand shifts descriptor low bits
+    # enough to flip knife-edge matching scenarios. Not worth it.)
+    desc = jnp.einsum("kpa,kpb,kpo->kabo",
+                      tv.astype(jnp.bfloat16), tu.astype(jnp.bfloat16),
+                      ooh.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)  # (K, 4, 4, 8)
     desc = desc.reshape(K, CELLS * CELLS * BINS)
 
     norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
