@@ -125,7 +125,7 @@ def main() -> int:
     return 0
 
 
-def run_slam_bench(timeout_s: int = 900):
+def run_slam_bench(timeout_s: int = 1500):
     """End-to-end SLAM system throughput (benchmarks/slam_bench.py) in a
     subprocess; None on any failure so the headline never breaks."""
     import subprocess
