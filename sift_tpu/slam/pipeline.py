@@ -381,6 +381,10 @@ class SfmPipeline:
             hasv = hasv.at[idx_r].set(tri_ok)
             return pos[:N], hasv[:N]
 
+        # Exposed for the unit test pinning the device replay against the
+        # host bookkeeping rules (tests/unit/test_promo_lm_table.py).
+        self._promo_lm_table_for_tests = _promo_lm_table
+
         @jax.jit
         def _track_chunk_promo(key, pose0, vel0, since0, nf, desc_ref,
                                valid_ref, lms_ref, kp_batch, pose_kf,
