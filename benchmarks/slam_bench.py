@@ -165,8 +165,15 @@ def bench_system():
     detail = (f"median of {N_SPANS} x {SPAN_FRAMES}-frame spans "
               f"[{min(rates):.1f}..{max(rates):.1f}] kf/s, "
               f"promotions={promos}, state={pipe.state}")
+    # Link-weather probe: host->device bandwidth swings ~20-210 MB/s on
+    # the shared tunnel and moves this wall-clock number 3x with zero
+    # code change (measured 37.8 vs 119.7 same-day, r3) — embed the
+    # conditions so any captured value is self-explaining.
+    from sift_tpu.utils.timing import tunnel_health
+    rtt_ms, up_mb_s = tunnel_health()
     return dict(metric="slam_kf_per_s", value=round(med, 2), unit="kf/s",
-                spans=[round(r, 2) for r in rates], detail=detail)
+                spans=[round(r, 2) for r in rates], detail=detail,
+                tunnel_rtt_ms=rtt_ms, tunnel_upload_mb_s=up_mb_s)
 
 
 def bench_stages():

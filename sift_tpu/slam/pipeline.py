@@ -960,11 +960,21 @@ class SfmPipeline:
                     kp_batch = kp_next if kp_next is not None \
                         else _extract_batch(imgs_dev)
                 kp_next = None
-                # Prefetch the next chunk's transfer behind this chunk's
-                # device work and blocking result read.
-                nxt_fut = (pool.submit(upload, start + batch)
-                           if start + batch < n else None)
-                cur_fut = nxt_fut
+                nxt_fut = None
+
+                def _submit_upload():
+                    # Prefetch the next chunk's transfer — submitted AFTER
+                    # this chunk's track dispatch (pre_read hook below),
+                    # never before it: upload bytes queue ahead of later
+                    # dispatch COMMANDS on the tunnel's host->device
+                    # stream (measured r3: a dispatch issued behind an
+                    # 18 MB upload waited the full ~190 ms transfer), so a
+                    # pre-dispatch upload adds its entire transfer time to
+                    # the chunk read under congested link weather
+                    # (20-210 MB/s same-day swings). Idempotent.
+                    nonlocal nxt_fut
+                    if nxt_fut is None and start + batch < n:
+                        nxt_fut = pool.submit(upload, start + batch)
 
                 def _extract_ahead(fut=None):
                     # Dispatch the NEXT chunk's extraction behind this
@@ -973,7 +983,8 @@ class SfmPipeline:
                     # chunked tracker so the dispatch overlaps the host
                     # decode window instead of the read.
                     nonlocal kp_next
-                    f = fut if fut is not None else cur_fut
+                    _submit_upload()
+                    f = fut if fut is not None else nxt_fut
                     if cfg.extract_ahead and rights is None \
                             and kp_next is None and f is not None:
                         kp_next = _extract_batch(f.result()[0])
@@ -981,11 +992,15 @@ class SfmPipeline:
                 if cfg.chunked_tracking and depths is None \
                         and rights is None and self.state == "tracking" \
                         and cfg.use_local_map:
-                    if self._process_chunk_tracked(
-                            kp_batch, n_chunk, results,
-                            after_dispatch=_extract_ahead):
+                    handled = self._process_chunk_tracked(
+                        kp_batch, n_chunk, results,
+                        after_dispatch=_extract_ahead,
+                        pre_read=_submit_upload)
+                    _submit_upload()    # bail-out paths skip the hooks
+                    if handled:
                         continue    # whole chunk handled in one dispatch
 
+                _submit_upload()
                 _extract_ahead()
                 for bi in range(n_chunk):
                     kp_i = jax.tree.map(lambda a: a[bi], kp_batch)
@@ -1015,7 +1030,8 @@ class SfmPipeline:
 
     def _process_chunk_tracked(self, kp_batch: Keypoints, n_frames: int,
                                results: List[Dict],
-                               after_dispatch=None) -> bool:
+                               after_dispatch=None,
+                               pre_read=None) -> bool:
         """Device-resident tracking of one extraction chunk
         (PipelineConfig.chunked_tracking): one fused dispatch + one packed
         read covers every frame AND the (at most one) keyframe promotion —
@@ -1074,6 +1090,13 @@ class SfmPipeline:
         # behind this chunk's track program — so the blocking read below
         # never waits on a solve.
         self._kickoff_ba()
+        if pre_read is not None:
+            # Next chunk's host->device upload starts HERE — after every
+            # dispatch of this chunk is on the wire (see _submit_upload in
+            # process_sequence for the measured ordering hazard), so the
+            # transfer overlaps this chunk's device work instead of
+            # delaying its dispatch commands.
+            pre_read()
         if ph is not None:
             t1 = time.perf_counter()
             ph.setdefault("chunk_dispatch", []).append(t1 - t0)

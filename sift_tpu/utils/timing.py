@@ -62,3 +62,49 @@ def tree_scalar(out) -> jnp.ndarray:
     leaves = [l for l in jax.tree.leaves(out)
               if hasattr(l, "dtype")]
     return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+
+
+def tunnel_health(upload_mb: float = 4.6, reps: int = 5):
+    """(rtt_ms, upload_mb_s) of the host<->device link, measured now.
+
+    Wall-clock numbers on a tunneled backend are hostage to link weather:
+    host->device bandwidth was measured anywhere from ~20 MB/s (congested)
+    to ~210 MB/s on the same day, which moves the end-to-end SLAM loop
+    3x with zero code change. System benchmarks embed this probe in
+    their output so a captured number is self-explaining.
+
+    The upload probe must use FRESH bytes per rep — re-uploading an
+    identical buffer hits a content cache in the tunnel (>1 GB/s).
+    """
+    import numpy as np
+
+    @jax.jit
+    def _probe(x):
+        return (x * 1.000001).sum()
+
+    x = jnp.zeros((128, 128), jnp.float32)
+    float(_probe(x))                          # compile + warm
+    rtts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(_probe(x))                      # dispatch + blocking read
+        rtts.append(time.perf_counter() - t0)
+    rtt_ms = float(np.median(rtts) * 1e3)
+
+    @jax.jit
+    def _consume(b):                          # forces the upload to land
+        return b[:: 65537].astype(jnp.float32).sum()
+
+    n = int(upload_mb * 1e6)
+    rng = np.random.default_rng(0)
+    _ = float(_consume(jnp.zeros(n, jnp.uint8)))        # compile
+    bws = []
+    for _ in range(max(2, reps // 2)):
+        buf = rng.integers(0, 255, n, dtype=np.uint8)   # fresh content
+        t0 = time.perf_counter()
+        d = jax.device_put(buf)
+        float(_consume(d))
+        dt = time.perf_counter() - t0
+        dt = max(dt - rtt_ms / 1e3, dt / 2)   # discount the consume RTT
+        bws.append(n / max(dt, 1e-9) / 1e6)
+    return round(rtt_ms, 1), round(float(np.median(bws)), 1)
