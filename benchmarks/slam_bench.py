@@ -42,8 +42,12 @@ N_WARMUP = 8 if SMALL else 32           # compiles + map warmup
 # upload-prefetch / extract-ahead pipeline re-primes at each
 # process_sequence entry), so a longer window keeps the median on the
 # true steady state without cherry-picking spans.
-N_SPANS = int(os.environ.get("SLAM_BENCH_SPANS", "2" if SMALL else "6"))
-SPAN_FRAMES = 8 if SMALL else 16
+_CHUNK = int(os.environ.get("SLAM_BENCH_BATCH", "16"))
+# A span must be a whole number of chunks: frames within one chunk share
+# a wall stamp, so a sub-chunk span would divide by ~0.
+SPAN_FRAMES = 8 if SMALL else max(16, _CHUNK)
+N_SPANS = int(os.environ.get(
+    "SLAM_BENCH_SPANS", "2" if SMALL else str(max(3, 96 // SPAN_FRAMES))))
 N_FRAMES = N_WARMUP + N_SPANS * SPAN_FRAMES
 STEP = 0.06 if SMALL else 0.025
 Z_TOP, Z_BOT = 6.0, 12.0
@@ -139,7 +143,7 @@ def bench_system():
     # the interleaved A/B (slam_ab.py, r3); chunk 32 COLLAPSES to the
     # per-frame fallback (the local map built at chunk start goes stale
     # over ~70 px of flow -> late frames fail the guided match).
-    chunk = int(os.environ.get("SLAM_BENCH_BATCH", "16"))
+    chunk = _CHUNK
     pipe.process_sequence(frames[:N_WARMUP], batch=chunk)
 
     stamper = _StampLogger()

@@ -348,10 +348,10 @@ class SfmPipeline:
                 return (pose_use, vel_new), packed
 
             B = kp_batch.x.shape[0]
-            (_, _), out = lax.scan(
+            carry, out = lax.scan(
                 step, (pose0, vel0),
                 (kp_batch, jnp.arange(B, dtype=jnp.int32)))
-            return out                                   # (B, 8)
+            return carry, out                   # ((pose, vel), (B, 8))
 
         def _promo_lm_table(payload, lms_kf_p, has_lm_kf_p, N):
             """Device-side replay of `_promote_keyframe`'s landmark
@@ -409,77 +409,141 @@ class SfmPipeline:
             previous payload (`_promo_lm_table`) — so a 16-frame chunk with
             two promotions still costs ONE dispatch + ONE packed read.
 
+            Chunks larger than 16 frames run as fused 16-frame SUB-CHUNKS
+            inside the same program: each sub-chunk after the first
+            re-tracks against the latest promoted frame's landmark table
+            instead of the chunk-start local map. This removes the r3
+            negative result for 32-frame chunks ("local map built at chunk
+            start goes stale over ~70 px of flow") while keeping ONE
+            dispatch + ONE packed read for the whole chunk; B <= 16
+            compiles to exactly the former single-scan program.
+
             Returns (packed, [desc_p, valid_p] per promo slot) with packed =
             [per-frame (B, 8) | promote_at (P) | payloads (P, 8M+8) |
              metas (P, 4N)].
             """
-            out = _chunk_scan(key, pose0, vel0, desc_ref, valid_ref,
-                              lms_ref, kp_batch)
-            B = out.shape[0]
-            P = max(1, B // 8)              # fused promotion slots
-            n_inl = out[:, 6].astype(jnp.int32)
-            min_inl = cfg.keyframe_min_inliers // 2
-            iota = jnp.arange(B, dtype=jnp.int32)
-            real = iota < nf
-            tracked_all = jnp.all(jnp.logical_not(real) |
-                                  (n_inl >= min_inl))
-            f32 = jnp.float32
-            Mcap = cfg.match.max_matches
+            B = kp_batch.x.shape[0]
             N = kp_batch.x.shape[1]
+            Mcap = cfg.match.max_matches
+            Mloc = desc_ref.shape[0]
+            f32 = jnp.float32
+            min_inl = cfg.keyframe_min_inliers // 2
+            # B <= 16 keeps the former single-scan program (bit-identical
+            # packed output); larger chunks subdivide into 8-frame scans
+            # so the tracking reference refreshes at every promotion
+            # opportunity — 16-frame refresh was measured too coarse (a
+            # promoted-frame table is narrower than the curated local
+            # map, so it goes stale faster).
+            subs = ([8] * (B // 8)
+                    if B % 8 == 0 and B > 16 else [B])
 
-            low = n_inl < cfg.kf_min_tracked
-            since = since0 + 1 + iota
-            gate = jnp.ones((B,), bool)
-            prev_any = tracked_all
+            pose_c, vel_c = pose0, vel0
+            since_last = since0                 # at the last frame seen
+            all_tracked = jnp.bool_(True)       # cumulative over sub-chunks
+            any_promo = jnp.bool_(False)        # any promo so far in chunk
             # Previous-promo reference buffers (start: the last keyframe).
+            # Updated by where-SELECT per slot, never plain assignment, so
+            # it always holds the latest VALID promoted frame (or the last
+            # keyframe) even when a slot does not fire.
             ref = dict(pose=pose_kf, desc=desc_kf, valid=valid_kf,
                        lms=lms_kf, has=has_lm_kf, uv=uv_kf)
-            promote_ats, payloads, metas, desc_out = [], [], [], []
-            for pi in range(P):
-                qualify = real & gate & (
-                    low | (since >= cfg.kf_max_interval))
-                any_q = prev_any & jnp.any(qualify)
-                pa = jnp.argmax(qualify)
-                promote_ats.append(jnp.where(any_q, pa, -1).astype(f32))
+            outs, promote_ats, payloads, metas, desc_out = \
+                [], [], [], [], []
+            slot = 0
+            si = 0
+            for s, SUB in enumerate(subs):
+                if s == 0:
+                    tr = (desc_ref, valid_ref, lms_ref)
+                    key_s = key
+                else:
+                    # Mid-chunk tracking-reference refresh: pad the
+                    # latest promoted frame's landmark table to the
+                    # local-map capacity and select it over the (now
+                    # stale) chunk-start local map if any promo fired.
+                    pd = max(Mloc - N, 0)
+                    tdesc = jnp.concatenate(
+                        [ref["desc"],
+                         jnp.zeros((pd,) + ref["desc"].shape[1:],
+                                   ref["desc"].dtype)])[:Mloc]
+                    tval = jnp.concatenate(
+                        [ref["valid"] & ref["has"],
+                         jnp.zeros((pd,), bool)])[:Mloc]
+                    tlms = jnp.concatenate(
+                        [ref["lms"], jnp.zeros((pd, 3), f32)])[:Mloc]
+                    tr = (jnp.where(any_promo, tdesc, desc_ref),
+                          jnp.where(any_promo, tval, valid_ref),
+                          jnp.where(any_promo, tlms, lms_ref))
+                    key_s = jax.random.fold_in(key, 0xC40 + s)
+                kp_sub = jax.tree.map(lambda a: a[si:si + SUB], kp_batch)
+                (pose_c, vel_c), out_s = _chunk_scan(
+                    key_s, pose_c, vel_c, tr[0], tr[1], tr[2], kp_sub)
+                outs.append(out_s)
+                n_inl = out_s[:, 6].astype(jnp.int32)
+                iota = jnp.arange(SUB, dtype=jnp.int32)
+                real = (si + iota) < nf
+                all_tracked = all_tracked & jnp.all(
+                    jnp.logical_not(real) | (n_inl >= min_inl))
+                low = n_inl < cfg.kf_min_tracked
+                since = since_last + 1 + iota
+                gate = jnp.ones((SUB,), bool)
+                prev_any = all_tracked
+                for pi in range(max(1, SUB // 8)):
+                    qualify = real & gate & (
+                        low | (since >= cfg.kf_max_interval))
+                    any_q = prev_any & jnp.any(qualify)
+                    pa = jnp.argmax(qualify)
+                    promote_ats.append(
+                        jnp.where(any_q, si + pa, -1).astype(f32))
 
-                kp_p = jax.tree.map(
-                    lambda a: lax.dynamic_index_in_dim(a, pa, 0,
-                                                       keepdims=False),
-                    kp_batch)
-                meta = jnp.stack([kp_p.x, kp_p.y,
-                                  kp_p.octave.astype(f32),
-                                  kp_p.valid.astype(f32)])
-                factor = jnp.exp2(kp_p.octave.astype(f32)) / uv_div
-                uv_b = jnp.stack([kp_p.x * factor, kp_p.y * factor], -1)
-                pose_seed = out[pa, :6]
-                r = ref
+                    kp_p = jax.tree.map(
+                        lambda a: lax.dynamic_index_in_dim(
+                            a, pa, 0, keepdims=False),
+                        kp_sub)
+                    meta = jnp.stack([kp_p.x, kp_p.y,
+                                      kp_p.octave.astype(f32),
+                                      kp_p.valid.astype(f32)])
+                    factor = jnp.exp2(kp_p.octave.astype(f32)) / uv_div
+                    uv_b = jnp.stack([kp_p.x * factor,
+                                      kp_p.y * factor], -1)
+                    pose_seed = out_s[pa, :6]
+                    r = ref
 
-                def do_promo(_):
-                    return _kf_track_body(
-                        True, jax.random.fold_in(key, 0x5EED + pi),
-                        pose_seed, r["pose"], r["desc"], r["valid"],
-                        r["lms"], r["has"], r["uv"],
-                        kp_p.desc, kp_p.valid, uv_b)
+                    def do_promo(_):
+                        return _kf_track_body(
+                            True, jax.random.fold_in(key, 0x5EED + slot),
+                            pose_seed, r["pose"], r["desc"], r["valid"],
+                            r["lms"], r["has"], r["uv"],
+                            kp_p.desc, kp_p.valid, uv_b)
 
-                def no_promo(_):
-                    return jnp.zeros((8 * Mcap + 8,), f32)
+                    def no_promo(_):
+                        return jnp.zeros((8 * Mcap + 8,), f32)
 
-                payload = lax.cond(any_q, do_promo, no_promo, None)
-                payloads.append(payload)
-                metas.append(meta.reshape(-1))
-                desc_out.extend([kp_p.desc, kp_p.valid])
+                    payload = lax.cond(any_q, do_promo, no_promo, None)
+                    payloads.append(payload)
+                    metas.append(meta.reshape(-1))
+                    desc_out.extend([kp_p.desc, kp_p.valid])
+                    slot += 1
 
-                if pi + 1 < P:
-                    # Next promo tracks relative to THIS promoted frame.
+                    # Next promo / next sub-chunk tracks relative to the
+                    # latest promoted frame (select keeps `ref` valid when
+                    # this slot did not fire).
                     lms_p, has_p = _promo_lm_table(payload, r["lms"],
                                                    r["has"], N)
-                    ref = dict(pose=payload[8 * Mcap:8 * Mcap + 6],
-                               desc=kp_p.desc, valid=kp_p.valid,
-                               lms=lms_p, has=has_p, uv=uv_b)
-                    since = iota - pa           # frames since this promo
+                    new_ref = dict(pose=payload[8 * Mcap:8 * Mcap + 6],
+                                   desc=kp_p.desc, valid=kp_p.valid,
+                                   lms=lms_p, has=has_p, uv=uv_b)
+                    ref = jax.tree.map(
+                        lambda nw, od: jnp.where(any_q, nw, od),
+                        new_ref, ref)
+                    since = jnp.where(any_q, iota - pa, since)
                     gate = iota > pa
                     prev_any = any_q
+                    any_promo = any_promo | any_q
+                since_last = since[SUB - 1]
+                si += SUB
 
+            out = jnp.concatenate(outs, axis=0) if len(outs) > 1 \
+                else outs[0]
             packed = jnp.concatenate(
                 [out.reshape(-1)] + [a[None] for a in promote_ats]
                 + payloads + metas)
