@@ -124,7 +124,13 @@ def main() -> int:
         # Link weather at measurement time: the SLAM loop is wall-clock
         # over a shared tunnel whose host->device bandwidth swings
         # 20-210 MB/s (measured 37.8 vs 119.7 kf/s same-day, r3).
-        for k in ("tunnel_rtt_ms", "tunnel_upload_mb_s"):
+        # Weather-independent device floor: the same steady-state programs
+        # re-timed with chained on-device reps (what the engine sustains
+        # per chip with a co-located host; see slam_bench.bench_device_floor).
+        for k in ("tunnel_rtt_ms", "tunnel_upload_mb_s",
+                  "slam_kf_per_s_device", "device_ms_extract",
+                  "device_ms_chunk_track", "device_ms_window_ba",
+                  "device_ba_solves_per_chunk", "device_floor_error"):
             if k in slam:
                 out[k] = slam[k]
     print(json.dumps(out))

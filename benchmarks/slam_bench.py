@@ -34,6 +34,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SMALL = bool(int(os.environ.get("BENCH_SMALL", "0")))
+_T_START = time.perf_counter()
 
 H, W = (180, 240) if SMALL else (480, 600)
 FX = 200.0 if SMALL else 520.0
@@ -112,14 +113,19 @@ def _pipeline_cfg():
 class _StampLogger:
     """Minimal MetricsLogger stand-in: wall-clock timestamp per frame
     record (frames within one chunk share a stamp — span boundaries are
-    chunk multiples, so span rates stay exact)."""
+    chunk multiples, so span rates stay exact). Also counts window-BA
+    applies so the device-floor metric amortizes the measured number of
+    solves per chunk."""
 
     def __init__(self):
         self.stamps = []
+        self.n_ba = 0
 
     def log(self, kind, **kw):
         if kind == "frame":
             self.stamps.append(time.perf_counter())
+        elif kind == "window_ba":
+            self.n_ba += 1
 
 
 def bench_system():
@@ -136,6 +142,7 @@ def bench_system():
 
     frames = [render(STEP * i) for i in range(N_FRAMES)]
     pipe = SfmPipeline(INTR, _pipeline_cfg())
+    pipe._capture = {}          # stash (fn, args) of the real dispatches
 
     # Warmup: compiles (bootstrap program, tracking program, promotion
     # + BA programs) + map warmup. Default chunk 16 (= 2 fused promotions
@@ -175,9 +182,91 @@ def bench_system():
     # conditions so any captured value is self-explaining.
     from sift_tpu.utils.timing import tunnel_health
     rtt_ms, up_mb_s = tunnel_health()
-    return dict(metric="slam_kf_per_s", value=round(med, 2), unit="kf/s",
-                spans=[round(r, 2) for r in rates], detail=detail,
-                tunnel_rtt_ms=rtt_ms, tunnel_upload_mb_s=up_mb_s)
+    rec = dict(metric="slam_kf_per_s", value=round(med, 2), unit="kf/s",
+               spans=[round(r, 2) for r in rates], detail=detail,
+               tunnel_rtt_ms=rtt_ms, tunnel_upload_mb_s=up_mb_s)
+    want_floor = int(os.environ.get("SLAM_BENCH_DEVICE_FLOOR",
+                                    "0" if SMALL else "1"))
+    # Deadline guard: the floor adds up to 6 chained compiles (cached
+    # after the first successful run); if the wall-clock run already ate
+    # most of the driver's subprocess budget (cold caches, congested
+    # tunnel), skip rather than time the whole bench out.
+    budget_s = float(os.environ.get("SLAM_BENCH_FLOOR_DEADLINE_S", "900"))
+    if want_floor and time.perf_counter() - _T_START > budget_s:
+        want_floor = 0
+        rec["device_floor_error"] = "skipped: past deadline"
+    if want_floor:
+        try:
+            n_chunks = max(1, (len(frames) - N_WARMUP) // chunk)
+            ba_per_chunk = min(1.0, stamper.n_ba / n_chunks)
+            rec.update(bench_device_floor(pipe, frames[-chunk:],
+                                          ba_per_chunk))
+        except Exception as e:            # the wall-clock headline never
+            rec["device_floor_error"] = repr(e)   # breaks on the extra
+    return rec
+
+
+def bench_device_floor(pipe, chunk_frames, ba_per_chunk: float):
+    """Weather-independent device floor of the SLAM loop.
+
+    The wall-clock headline above is hostage to tunnel link weather
+    (h->d bandwidth 13-210 MB/s across days moves it 45-125 kf/s with
+    zero code change). This measurement answers the question the
+    number is FOR — what the engine sustains per chip when the host is
+    co-located (production deployment) — by re-timing the REAL
+    steady-state programs at the REAL shapes with `chained_time`
+    (on-device chained reps, RTT-proof):
+
+      extract(chunk) + fused chunk tracker + (solves/chunk) x window BA
+
+    captured from the live pipeline via `pipe._capture` (the exact jit
+    functions and argument buffers of the last steady-state dispatches,
+    including the bucketed BA shapes). On a single chip these programs
+    serialize, so their sum IS the device budget per chunk.
+    """
+    import jax.numpy as jnp
+    from sift_tpu.utils.timing import chained_time, tree_scalar
+
+    cap = pipe._capture or {}
+    if "chunk" not in cap or "ba" not in cap:
+        return {"device_floor_error": "no captured dispatches"}
+    B = len(chunk_frames)
+
+    # Extraction at the real chunk size. f32 input (chained_time's carry
+    # perturbation needs a float arg); the production uint8 path differs
+    # only by the on-device cast.
+    imgs = jnp.asarray(np.stack(chunk_frames).astype(np.float32))
+
+    def fn_ex(x):
+        return tree_scalar(pipe._jit_extract_batch(x))
+
+    t_ex = chained_time(fn_ex, (imgs,), reps_lo=1, reps_hi=4)
+
+    # The fused chunk tracker on its captured args (reordered so the
+    # perturbable f32 pose leads; the PRNG key rides along unperturbed).
+    fn_chunk, a = cap["chunk"]
+
+    def fn_ch(pose0, key, *rest):
+        return tree_scalar(fn_chunk(key, pose0, *rest))
+
+    t_ch = chained_time(fn_ch, (a[1], a[0]) + a[2:], reps_lo=1, reps_hi=4)
+
+    # Window BA at the captured (bucketed) shapes and budget.
+    fn_ba, ba_args = cap["ba"]
+
+    def fn_b(*args):
+        return tree_scalar(fn_ba(*args))
+
+    t_ba = chained_time(fn_b, ba_args, reps_lo=1, reps_hi=4)
+
+    total = t_ex + t_ch + ba_per_chunk * t_ba
+    return {
+        "slam_kf_per_s_device": round(B / total, 2),
+        "device_ms_extract": round(t_ex * 1e3, 2),
+        "device_ms_chunk_track": round(t_ch * 1e3, 2),
+        "device_ms_window_ba": round(t_ba * 1e3, 2),
+        "device_ba_solves_per_chunk": round(ba_per_chunk, 3),
+    }
 
 
 def bench_stages():

@@ -839,6 +839,12 @@ class SfmPipeline:
         self._pending_ba = []  # [(packed handle, window kfs, uniq, L, O, seq)]
         self._ba_kickoff = None   # deferred _run_window_ba args (chunk path)
         self._chunk_seq = 0       # chunk counter: ages pending BA entries
+        # Benchmark introspection: when set to a dict, the steady-state
+        # dispatch sites stash (jitted_fn, args) of their LAST call under
+        # "chunk" / "ba" so benchmarks can re-time the REAL programs at
+        # the REAL shapes with chained_time (RTT/link-weather-proof
+        # device floor; see benchmarks/slam_bench.py::bench_device_floor).
+        self._capture = None
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -1140,7 +1146,7 @@ class SfmPipeline:
         P = max(1, B // 8)                           # fused promotion slots
         ph = getattr(self, "_phase_log", None)       # benchmark introspection
         t0 = time.perf_counter() if ph is not None else 0.0
-        res = self._jit_track_chunk_promo(
+        chunk_args = (
             self._next_key(), jnp.asarray(pose0), jnp.asarray(vel0),
             jnp.int32(self._frames_since_kf), jnp.int32(n_frames),
             desc_ref, jnp.asarray(valid_ref),
@@ -1149,6 +1155,10 @@ class SfmPipeline:
             jnp.asarray(ref_kf.kp["valid"]),
             jnp.asarray(lms_a.astype(np.float32)), jnp.asarray(has),
             jnp.asarray(uv_a))
+        if self._capture is not None:
+            self._capture["chunk"] = (self._jit_track_chunk_promo,
+                                      chunk_args)
+        res = self._jit_track_chunk_promo(*chunk_args)
         packed_dev, desc_valid_p = res[0], res[1:]
         # A BA deferred by the previous chunk's promotion dispatches NOW —
         # behind this chunk's track program — so the blocking read below
@@ -2387,10 +2397,13 @@ class SfmPipeline:
 
         ba_fn = (self._jit_window_ba_track
                  if self.state == "tracking" else self._jit_window_ba)
-        st = ba_fn(jnp.asarray(poses), jnp.asarray(lms),
+        ba_args = (jnp.asarray(poses), jnp.asarray(lms),
                    jnp.asarray(obs_cam), jnp.asarray(obs_lm),
                    jnp.asarray(obs_uv), jnp.asarray(obs_valid),
                    jnp.asarray(fixed))
+        if self._capture is not None:
+            self._capture["ba"] = (ba_fn, ba_args)
+        st = ba_fn(*ba_args)
         if self.cfg.ba_async:
             # Deferred: JAX dispatch is asynchronous — keep the device
             # handles and apply the results before the map state is next
