@@ -384,7 +384,13 @@ def cmd_sfm(args) -> int:
         kind = "se3" if metric else "sim3"
         print(f"ATE RMSE ({kind}-aligned): {ate:.4f} m")
     if args.traj:
-        np.savetxt(args.traj, pipe.positions())
+        if getattr(args, "traj_format", "xyz") == "tum":
+            from sift_tpu.io.trajectory import save_tum
+            Rs, ts = pipe.poses_Rt()
+            stamps = [f.timestamp for f in seq][:ts.shape[0]]
+            save_tum(args.traj, Rs, ts, timestamps=stamps)
+        else:
+            np.savetxt(args.traj, pipe.positions())
         print(f"wrote {args.traj}")
     if args.plot:
         from sift_tpu.io.viz import plot_trajectory
@@ -455,6 +461,10 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--stereo", action="store_true",
                     help="KITTI: use image_1 for stereo depth (metric scale)")
     ps.add_argument("--traj", help="write trajectory positions to this file")
+    ps.add_argument("--traj-format", choices=["xyz", "tum"], default="xyz",
+                    help="trajectory file dialect: bare xyz rows, or the "
+                         "TUM grammar (ts tx ty tz qx qy qz qw; "
+                         "evo-compatible)")
     ps.add_argument("--plot", help="write a top-down trajectory plot (png)")
     ps.add_argument("--verbose", action="store_true")
     # Performance / SLAM options (round 2).

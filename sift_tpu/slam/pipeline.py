@@ -1357,6 +1357,20 @@ class SfmPipeline:
             out.append(t)
         return np.stack(out) if out else np.zeros((0, 3), np.float32)
 
+    def poses_Rt(self):
+        """Full trajectory poses: (F, 3, 3) rotations + (F, 3) centers,
+        camera-to-world (the TUM trajectory convention; feed to
+        io.trajectory.save_tum for evo-compatible export)."""
+        Rs, ts = [], []
+        for rec in self.trajectory:
+            R, t = _se3_exp_np(rec["pose"])
+            Rs.append(R)
+            ts.append(t)
+        if not Rs:
+            return np.zeros((0, 3, 3), np.float32), np.zeros((0, 3),
+                                                             np.float32)
+        return np.stack(Rs), np.stack(ts)
+
     # ----------------------------------------------------------- bootstrap
     def _bootstrap_step(self, kp) -> Dict:
         pose0 = np.zeros(6, np.float32)
