@@ -397,6 +397,12 @@ def cmd_sfm(args) -> int:
         plot_trajectory(pipe.positions(), gt, path=args.plot,
                         title=f"{seq.name} trajectory")
         print(f"wrote {args.plot}")
+    if getattr(args, "ply", None):
+        from sift_tpu.io.trajectory import save_ply
+        lms = pipe.landmarks
+        finite = np.isfinite(lms).all(axis=1)
+        save_ply(args.ply, lms[finite])
+        print(f"wrote {args.ply} ({int(finite.sum())} points)")
     return 0
 
 
@@ -466,6 +472,8 @@ def build_parser() -> argparse.ArgumentParser:
                          "TUM grammar (ts tx ty tz qx qy qz qw; "
                          "evo-compatible)")
     ps.add_argument("--plot", help="write a top-down trajectory plot (png)")
+    ps.add_argument("--ply", help="write the sparse landmark map as an "
+                                  "ASCII PLY point cloud")
     ps.add_argument("--verbose", action="store_true")
     # Performance / SLAM options (round 2).
     ps.add_argument("--chunked", action="store_true",

@@ -76,3 +76,30 @@ def save_tum(path: str, Rs: np.ndarray, ts: np.ndarray,
     rows = np.concatenate([stamps[:, None], ts, quat], axis=1)
     header = "timestamp tx ty tz qx qy qz qw"
     np.savetxt(path, rows, fmt="%.9f", header=header)
+
+
+def save_ply(path: str, points: np.ndarray,
+             colors: Optional[np.ndarray] = None) -> None:
+    """Write an ASCII PLY point cloud (the standard sparse-map artifact;
+    opens in MeshLab/CloudCompare/Open3D).
+
+    points (N, 3) float; colors optional (N, 3) uint8 RGB."""
+    pts = np.asarray(points, np.float32).reshape(-1, 3)
+    n = pts.shape[0]
+    with open(path, "w") as fh:
+        fh.write("ply\nformat ascii 1.0\n")
+        fh.write(f"element vertex {n}\n")
+        fh.write("property float x\nproperty float y\nproperty float z\n")
+        if colors is not None:
+            fh.write("property uchar red\nproperty uchar green\n"
+                     "property uchar blue\n")
+        fh.write("end_header\n")
+        if colors is None:
+            for p in pts:
+                fh.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+        else:
+            cols = np.asarray(colors, np.uint8).reshape(-1, 3)
+            assert cols.shape[0] == n, (cols.shape, n)
+            for p, c in zip(pts, cols):
+                fh.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
+                         f"{int(c[0])} {int(c[1])} {int(c[2])}\n")

@@ -9,7 +9,7 @@ poses, which pins both the file grammar and the quaternion convention
 import numpy as np
 import pytest
 
-from sift_tpu.io.trajectory import rotmat_to_quat, save_tum
+from sift_tpu.io.trajectory import rotmat_to_quat, save_ply, save_tum
 
 
 def _quat_to_R(qx, qy, qz, qw):
@@ -107,11 +107,31 @@ def test_cli_sfm_traj_format_tum(tmp_path):
     if not os.path.isdir(tum_dir):
         pytest.skip("tum fixture missing")
     traj = str(tmp_path / "traj_tum.txt")
+    ply = str(tmp_path / "map.ply")
     rc = cli.main(["sfm", tum_dir, "--format", "tum", "--traj", traj,
-                   "--traj-format", "tum"])
+                   "--traj-format", "tum", "--ply", ply])
     assert rc == 0
     from sift_tpu.io.datasets import _read_tum_groundtruth
     rows = _read_tum_groundtruth(traj)
     assert len(rows) == 10
     # timestamps must be the fixture's own frame stamps (not indices)
     assert rows[0][0] > 1e9
+    head = open(ply).read().splitlines()
+    assert head[0] == "ply"
+    n = int([l for l in head if l.startswith("element vertex")][0].split()[-1])
+    assert n > 0
+
+
+def test_save_ply(tmp_path):
+    pts = np.array([[0.0, 1.0, 2.0], [3.5, -1.25, 0.0]], np.float32)
+    cols = np.array([[255, 0, 0], [0, 128, 255]], np.uint8)
+    p1 = str(tmp_path / "plain.ply")
+    p2 = str(tmp_path / "color.ply")
+    save_ply(p1, pts)
+    save_ply(p2, pts, cols)
+    t1 = open(p1).read().splitlines()
+    assert t1[0] == "ply" and "element vertex 2" in t1[2]
+    assert t1[-1].startswith("3.5")
+    t2 = open(p2).read().splitlines()
+    assert "property uchar red" in t2
+    assert t2[-1].endswith("0 128 255")
