@@ -87,9 +87,33 @@ def make_chained(cfg, reps: int):
     return run
 
 
+def probe_backend_alive(timeout_s: int = 120) -> bool:
+    """True iff the JAX backend initializes and executes in a subprocess.
+
+    The tunneled axon TPU can go unreachable in a way that hangs
+    `jax.devices()` itself (observed r4: backend init blocked >300 s).
+    A hung bench leaves the driver with NOTHING — probing in a killable
+    subprocess converts that into a fast, diagnosable failure.
+    """
+    import subprocess
+    code = ("import jax, jax.numpy as jnp;"
+            "x = jnp.ones((8, 8));"
+            "print('alive', float((x @ x).sum()), jax.devices()[0].platform)")
+    try:
+        p = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=timeout_s)
+        return p.returncode == 0 and "alive" in p.stdout
+    except Exception:
+        return False
+
+
 def main() -> int:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.expanduser("~/.cache/sift_tpu_xla"))
+    if not probe_backend_alive():
+        print("bench.py: JAX backend unreachable (tunnel down?) — "
+              "no measurement possible", file=sys.stderr)
+        return 3
     import jax
     import jax.numpy as jnp
     from sift_tpu.config import SiftConfig
