@@ -1,0 +1,218 @@
+"""Descriptor-stage optimization experiments (round 4).
+
+The SLAM device floor decomposition puts extraction at 67% of the
+per-chunk device budget, and descriptors are the largest extract stage
+(5.6 ms / 8 frames, r3 table). The stage runs ONCE PER ORIENTATION PEAK
+(P=2) over the shared (K, 48, 48) windows. Hypotheses:
+
+  H1 (CSE): XLA already dedupes the peak-independent subexpressions
+     (mag/ang/coordinate ramps are identical HLO across the two calls),
+     so hoisting them manually wins nothing. Test: t(two peaks) vs
+     2 x t(one peak).
+  H2 (exp hoist): the Gaussian window weight exp(-(u^2+v^2)/2s^2) is
+     rotation-INVARIANT (u^2+v^2 = (ox^2+oy^2)/hw^2), but the production
+     code computes it per peak from the rotated (u, v) — XLA cannot CSE
+     it because the expressions differ. Computing w once from (ox, oy)
+     saves one exp+mul pass over (K, 2304) per extra peak, at the cost
+     of low-bit drift (float rotation is not exactly norm-preserving).
+
+Usage: python benchmarks/desc_experiments.py   (JSON lines)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+K = int(os.environ.get("DESC_K", "512"))
+PEAKS = 2
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/sift_tpu_xla"))
+    import jax.numpy as jnp
+    from sift_tpu.config import SiftConfig
+    from sift_tpu.frontend.windows import (R_DESC, descriptors_from_windows)
+    from sift_tpu.utils.timing import chained_time, tree_scalar
+
+    cfg = SiftConfig(mode="lowe")
+    rng = np.random.default_rng(0)
+    d = 2 * R_DESC
+    gx = jnp.asarray(rng.standard_normal((K, d, d)), jnp.float32)
+    gy = jnp.asarray(rng.standard_normal((K, d, d)), jnp.float32)
+    oy0 = jnp.asarray(rng.uniform(-24.5, -23.5, (K,)), jnp.float32)
+    ox0 = jnp.asarray(rng.uniform(-24.5, -23.5, (K,)), jnp.float32)
+    oris = jnp.asarray(rng.uniform(0, 360, (K, PEAKS)), jnp.float32)
+    sw = jnp.asarray(rng.uniform(1.6, 3.2, (K,)), jnp.float32)
+
+    out = []
+
+    def fn_one(gx_):
+        return tree_scalar(descriptors_from_windows(
+            gx_, gy, oy0, ox0, oris[:, 0], sw, cfg))
+
+    t1 = chained_time(fn_one, (gx,))
+    out.append(dict(metric="desc_one_peak_ms", value=round(t1 * 1e3, 3),
+                    unit="ms", detail=f"K={K}"))
+
+    def fn_two(gx_):
+        a = descriptors_from_windows(gx_, gy, oy0, ox0, oris[:, 0], sw, cfg)
+        b = descriptors_from_windows(gx_, gy, oy0, ox0, oris[:, 1], sw, cfg)
+        return tree_scalar((a, b))
+
+    t2 = chained_time(fn_two, (gx,))
+    out.append(dict(metric="desc_two_peaks_ms", value=round(t2 * 1e3, 3),
+                    unit="ms", detail=f"production pattern; CSE factor "
+                    f"{t2 / max(t1, 1e-9):.2f}x of one peak"))
+
+    # H2 variant: shared precompute (mag, ang, w) + per-peak remainder.
+    from sift_tpu.frontend.windows import CELLS, BINS
+
+    def desc_shared(gx_, gy_, oy0_, ox0_, oris_, sw_):
+        Kk, dd, _ = gx_.shape
+        P = dd * dd
+        fgx = gx_.reshape(Kk, P)
+        fgy = gy_.reshape(Kk, P)
+        mag = jnp.sqrt(fgx * fgx + fgy * fgy)
+        ang = jnp.degrees(jnp.arctan2(fgy, fgx))
+        rows = jnp.arange(dd, dtype=jnp.float32)
+        oy = (oy0_[:, None, None] + rows[None, :, None]
+              + jnp.zeros((1, 1, dd))).reshape(Kk, P)
+        ox = (ox0_[:, None, None] + rows[None, None, :]
+              + jnp.zeros((1, dd, 1))).reshape(Kk, P)
+        hist_width = jnp.maximum(3.0 * sw_, 1e-3)[:, None]
+        wsig = 0.5 * CELLS
+        # rotation-invariant Gaussian weight: (u^2+v^2) == r^2 / hw^2
+        r2 = (ox * ox + oy * oy) / (hist_width * hist_width)
+        w = mag * jnp.exp(-r2 / (2.0 * wsig * wsig))
+
+        outs = []
+        for p in range(oris_.shape[1]):
+            od = oris_[:, p]
+            theta = jnp.deg2rad(od)
+            cos_t = jnp.cos(theta)[:, None]
+            sin_t = jnp.sin(theta)[:, None]
+            u = (ox * cos_t + oy * sin_t) / hist_width
+            v = (-ox * sin_t + oy * cos_t) / hist_width
+            cell_centers = jnp.arange(CELLS, dtype=jnp.float32) \
+                - (CELLS - 1) / 2.0
+            tu = jnp.maximum(0.0, 1.0 - jnp.abs(u[..., None] - cell_centers))
+            tv = jnp.maximum(0.0, 1.0 - jnp.abs(v[..., None] - cell_centers))
+            rel = jnp.mod(ang - od[:, None], 360.0)
+            ob = rel / (360.0 / BINS) - 0.5
+            b0 = jnp.floor(ob)
+            frac = ob - b0
+            bins_iota = jnp.arange(BINS, dtype=jnp.int32)
+            b0i = jnp.mod(b0.astype(jnp.int32), BINS)
+            b1i = jnp.mod(b0i + 1, BINS)
+            ooh = ((b0i[..., None] == bins_iota) * (1.0 - frac)[..., None]
+                   + (b1i[..., None] == bins_iota) * frac[..., None])
+            ooh = ooh * w[..., None]
+            desc = jnp.einsum("kpa,kpb,kpo->kabo",
+                              tv.astype(jnp.bfloat16), tu.astype(jnp.bfloat16),
+                              ooh.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+            desc = desc.reshape(Kk, CELLS * CELLS * BINS)
+            norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+            desc = desc / jnp.maximum(norm, 1e-7)
+            desc = jnp.minimum(desc, cfg.descriptor_max_component)
+            if cfg.rootsift:
+                s = jnp.sum(desc, axis=-1, keepdims=True)
+                desc = jnp.sqrt(desc / jnp.maximum(s, 1e-7))
+            else:
+                norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+                desc = desc / jnp.maximum(norm, 1e-7)
+            outs.append(desc)
+        return outs
+
+    def fn_shared(gx_):
+        return tree_scalar(desc_shared(gx_, gy, oy0, ox0, oris, sw))
+
+    t3 = chained_time(fn_shared, (gx,))
+    out.append(dict(metric="desc_two_peaks_shared_ms",
+                    value=round(t3 * 1e3, 3), unit="ms",
+                    detail=f"hoisted mag/ang + rotation-invariant w; "
+                    f"{t2 / max(t3, 1e-9):.2f}x vs production"))
+
+    # H3: ONE call, peaks broadcast internally — elementwise ops run on
+    # (K, P, 2304) in one fused pass and the contraction is one einsum;
+    # windows are never duplicated in HBM (broadcast fuses in-register).
+    def desc_multi(gx_, gy_, oy0_, ox0_, oris_, sw_):
+        Kk, dd, _ = gx_.shape
+        P = dd * dd
+        Q = oris_.shape[1]
+        fgx = gx_.reshape(Kk, 1, P)
+        fgy = gy_.reshape(Kk, 1, P)
+        mag = jnp.sqrt(fgx * fgx + fgy * fgy)
+        ang = jnp.degrees(jnp.arctan2(fgy, fgx))
+        rows = jnp.arange(dd, dtype=jnp.float32)
+        oy = (oy0_[:, None, None] + rows[None, :, None]
+              + jnp.zeros((1, 1, dd))).reshape(Kk, 1, P)
+        ox = (ox0_[:, None, None] + rows[None, None, :]
+              + jnp.zeros((1, dd, 1))).reshape(Kk, 1, P)
+        theta = jnp.deg2rad(oris_)                       # (K, Q)
+        cos_t = jnp.cos(theta)[..., None]
+        sin_t = jnp.sin(theta)[..., None]
+        hist_width = jnp.maximum(3.0 * sw_, 1e-3)[:, None, None]
+        u = (ox * cos_t + oy * sin_t) / hist_width       # (K, Q, P)
+        v = (-ox * sin_t + oy * cos_t) / hist_width
+        wsig = 0.5 * CELLS
+        w = mag * jnp.exp(-(u * u + v * v) / (2.0 * wsig * wsig))
+        cell_centers = jnp.arange(CELLS, dtype=jnp.float32) \
+            - (CELLS - 1) / 2.0
+        tu = jnp.maximum(0.0, 1.0 - jnp.abs(u[..., None] - cell_centers))
+        tv = jnp.maximum(0.0, 1.0 - jnp.abs(v[..., None] - cell_centers))
+        rel = jnp.mod(ang - oris_[..., None], 360.0)
+        ob = rel / (360.0 / BINS) - 0.5
+        b0 = jnp.floor(ob)
+        frac = ob - b0
+        bins_iota = jnp.arange(BINS, dtype=jnp.int32)
+        b0i = jnp.mod(b0.astype(jnp.int32), BINS)
+        b1i = jnp.mod(b0i + 1, BINS)
+        ooh = ((b0i[..., None] == bins_iota) * (1.0 - frac)[..., None]
+               + (b1i[..., None] == bins_iota) * frac[..., None])
+        ooh = ooh * w[..., None]
+        desc = jnp.einsum("kqpa,kqpb,kqpo->kqabo",
+                          tv.astype(jnp.bfloat16), tu.astype(jnp.bfloat16),
+                          ooh.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+        desc = desc.reshape(Kk, Q, CELLS * CELLS * BINS)
+        norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+        desc = desc / jnp.maximum(norm, 1e-7)
+        desc = jnp.minimum(desc, cfg.descriptor_max_component)
+        norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+        return desc / jnp.maximum(norm, 1e-7)
+
+    def fn_multi(gx_):
+        return tree_scalar(desc_multi(gx_, gy, oy0, ox0, oris, sw))
+
+    t4 = chained_time(fn_multi, (gx,))
+    out.append(dict(metric="desc_two_peaks_fused_ms",
+                    value=round(t4 * 1e3, 3), unit="ms",
+                    detail=f"single call, (K, Q, P) broadcast; "
+                    f"{t2 / max(t4, 1e-9):.2f}x vs production"))
+
+    a4 = descriptors_from_windows(gx, gy, oy0, ox0, oris[:, 1], sw, cfg)
+    b4 = desc_multi(gx, gy, oy0, ox0, oris, sw)[:, 1]
+    out.append(dict(metric="desc_fused_max_drift",
+                    value=float(jnp.max(jnp.abs(a4 - b4))), unit="abs"))
+
+    # numerical drift of the H2 variant vs production
+    a = descriptors_from_windows(gx, gy, oy0, ox0, oris[:, 0], sw, cfg)
+    b = desc_shared(gx, gy, oy0, ox0, oris, sw)[0]
+    drift = float(jnp.max(jnp.abs(a - b)))
+    out.append(dict(metric="desc_shared_max_drift", value=drift, unit="abs"))
+
+    for r in out:
+        print(json.dumps(r))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
