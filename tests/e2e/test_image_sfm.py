@@ -361,3 +361,24 @@ def test_mesh_sharded_extraction_identical_trajectory(frames):
         assert pipe.state == "tracking"
         ate = ate_rmse(pipe.positions(), gt, align=True, with_scale=True)
         assert ate < 0.05, (mesh, ate)
+
+
+def test_capture_hook_stashes_steady_state_dispatches():
+    """`pipe._capture = {}` must stash the (jit_fn, args) of the fused
+    chunk tracker and the window BA after a chunked run — the device-floor
+    benchmark (benchmarks/slam_bench.py::bench_device_floor) re-times
+    exactly these; a silently missing stash would skip the floor metric."""
+    n = 20
+    seq = [_render(STEP * i) for i in range(n)]
+    cfg = _cfg().replace(chunked_tracking=True, ba_async=True)
+    pipe = SfmPipeline(INTR, cfg)
+    pipe._capture = {}
+    pipe.process_sequence(seq, batch=4)
+    assert "chunk" in pipe._capture, list(pipe._capture)
+    assert "ba" in pipe._capture, list(pipe._capture)
+    fn, args = pipe._capture["chunk"]
+    res = fn(*args)                      # replayable at the real shapes
+    assert np.all(np.isfinite(np.asarray(res[0])[:: max(1, len(res[0]) // 7)][:4]))
+    fn_ba, ba_args = pipe._capture["ba"]
+    packed = np.asarray(fn_ba(*ba_args))       # packed result buffer
+    assert np.isfinite(float(packed.reshape(-1)[-2]))  # rmse slot
