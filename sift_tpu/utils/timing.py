@@ -47,7 +47,18 @@ def chained_time(fn: Callable, args, reps_lo: int = 2, reps_hi: int = 12,
     times = {}
     for n in (reps_lo, reps_hi):
         f = chained(n)
-        float(f(*args))                       # compile + warm
+        # The tunneled backend's remote_compile endpoint drops connections
+        # transiently under load ("response body closed before all bytes
+        # were read", observed r4) — retry the compile+warm call; the
+        # compilation cache makes the retry cheap once the compile landed.
+        for attempt in range(3):
+            try:
+                float(f(*args))               # compile + warm
+                break
+            except Exception:
+                if attempt == 2:
+                    raise
+                time.sleep(2.0 * (attempt + 1))
         best = float("inf")
         for _ in range(tries):
             t0 = time.perf_counter()
