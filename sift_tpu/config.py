@@ -201,6 +201,15 @@ class PipelineConfig:
     ba_tracking_iterations: int = 8
     ba_tracking_cg: int = 20
 
+    # Per-frame tracking localization budget (pose_ransac_refine in the
+    # chunk scan / per-frame tracking step): hypothesis count and GN
+    # iterations per fit. Tracking starts from a constant-velocity
+    # prediction refined over guided matches, so this is a refinement
+    # robustness knob, not a cold-start search; the keyframe-promotion
+    # and relocalization paths keep the solver's full default budget.
+    tracking_ransac_hypotheses: int = 8
+    tracking_gn_iters: int = 8
+
     # Deferred (asynchronous) window BA: dispatch the BA program but don't
     # block on its results; they are applied before the state is next
     # needed (next promotion / pose-graph run / finalize()). Hides the BA

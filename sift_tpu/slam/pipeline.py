@@ -304,6 +304,8 @@ class SfmPipeline:
             uv = uv_b[m.idx_b]
             pose, inliers, rmse = pose_ransac_refine(
                 key, init_pose, K, lms, uv, m.valid,
+                num_hypotheses=cfg.tracking_ransac_hypotheses,
+                iters=cfg.tracking_gn_iters,
                 delta=cfg.ransac.inlier_threshold)
             n_inl = jnp.sum(inliers.astype(jnp.int32)).astype(jnp.float32)
             return jnp.concatenate([pose, n_inl[None], rmse[None]])
@@ -331,6 +333,8 @@ class SfmPipeline:
                 k_i = jax.random.fold_in(key, idx)
                 pose, inliers, rmse = pose_ransac_refine(
                     k_i, pred, K, lms, uv, m.valid,
+                    num_hypotheses=cfg.tracking_ransac_hypotheses,
+                    iters=cfg.tracking_gn_iters,
                     delta=cfg.ransac.inlier_threshold)
                 n_inl = jnp.sum(inliers.astype(jnp.int32))
                 tracked = n_inl >= min_inl
