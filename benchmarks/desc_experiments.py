@@ -60,6 +60,7 @@ def main():
     t1 = chained_time(fn_one, (gx,))
     out.append(dict(metric="desc_one_peak_ms", value=round(t1 * 1e3, 3),
                     unit="ms", detail=f"K={K}"))
+    print(json.dumps(out[-1]), flush=True)
 
     def fn_two(gx_):
         a = descriptors_from_windows(gx_, gy, oy0, ox0, oris[:, 0], sw, cfg)
@@ -70,6 +71,7 @@ def main():
     out.append(dict(metric="desc_two_peaks_ms", value=round(t2 * 1e3, 3),
                     unit="ms", detail=f"production pattern; CSE factor "
                     f"{t2 / max(t1, 1e-9):.2f}x of one peak"))
+    print(json.dumps(out[-1]), flush=True)
 
     # H2 variant: shared precompute (mag, ang, w) + per-peak remainder.
     from sift_tpu.frontend.windows import CELLS, BINS
@@ -208,6 +210,42 @@ def main():
     b = desc_shared(gx, gy, oy0, ox0, oris, sw)[0]
     drift = float(jnp.max(jnp.abs(a - b)))
     out.append(dict(metric="desc_shared_max_drift", value=drift, unit="abs"))
+
+    # H4 (diagnosis): the extract_bisect gap — in-context descriptors cost
+    # ~8.7 ms / 8 images while 8x the isolated call predicts ~2.5. The
+    # in-context call runs under vmap over the image batch; reproduce
+    # exactly that here to attribute the multiplier to batched lowering.
+    import jax
+    if K > 1024:
+        # the vmap diagnostic closes over (B, K, d, d) constants; past
+        # ~100 MB the tunnel's remote_compile rejects the program (413)
+        for r in out[2:]:
+            print(json.dumps(r), flush=True)
+        return 0
+    B = 8
+    bgx = jnp.asarray(np.stack([np.asarray(gx)] * B))   # (B, K, d, d)
+    bgy = jnp.asarray(np.stack([np.asarray(gy)] * B))
+    boy0 = jnp.asarray(np.stack([np.asarray(oy0)] * B))
+    box0 = jnp.asarray(np.stack([np.asarray(ox0)] * B))
+    boris = jnp.asarray(np.stack([np.asarray(oris)] * B))
+    bsw = jnp.asarray(np.stack([np.asarray(sw)] * B))
+
+    def one_img(gx_, gy_, oy0_, ox0_, oris_, sw_):
+        a = descriptors_from_windows(gx_, gy_, oy0_, ox0_, oris_[:, 0],
+                                     sw_, cfg)
+        b = descriptors_from_windows(gx_, gy_, oy0_, ox0_, oris_[:, 1],
+                                     sw_, cfg)
+        return a, b
+
+    def fn_vmap(bgx_):
+        return tree_scalar(jax.vmap(one_img)(bgx_, bgy, boy0, box0,
+                                             boris, bsw))
+
+    t5 = chained_time(fn_vmap, (bgx,), reps_lo=1, reps_hi=4)
+    out.append(dict(metric="desc_two_peaks_vmap8_ms",
+                    value=round(t5 * 1e3, 3), unit="ms",
+                    detail=f"B=8 images; per-image "
+                    f"{t5 / B * 1e3:.3f} vs isolated {t2 * 1e3:.3f}"))
 
     for r in out:
         print(json.dumps(r))

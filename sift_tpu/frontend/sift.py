@@ -167,7 +167,127 @@ def extract_jit(img: jnp.ndarray, cfg: SiftConfig,
     return extract(img, cfg, with_descriptors)
 
 
+def extract_lowe_batched(imgs: jnp.ndarray, cfg: SiftConfig,
+                         with_descriptors: bool = True) -> Keypoints:
+    """Batch-flattened lowe extraction over (B, H, W).
+
+    Structurally `vmap(extract_lowe)` — same kernels, same per-keypoint
+    math, same outputs — but the PER-KEYPOINT stages (window gather,
+    orientation, descriptors) run on keypoints FLATTENED ACROSS THE
+    BATCH ((B*K,) instead of vmapped (B, K)): the vmapped lowering of
+    the descriptor stage measured 2.35x slower per image than the
+    identical un-batched program (benchmarks/desc_experiments.py,
+    desc_two_peaks_vmap8_ms), because the batched einsums tile worse.
+    The dense map stages (pyramid, extrema, refinement) keep the batch
+    dimension — they are stencil/top_k work that batches well. Window
+    gathers index a (2, B*L, H, W) level-stack with per-keypoint fused
+    (image, level) indices, so the flattening costs nothing.
+    """
+    B = imgs.shape[0]
+    pyr = build_pyramid(imgs, cfg)       # batch-transparent: (B, L, H, W)
+    octave_factor = cfg.k ** (cfg.dogs_per_epoch - 1)
+
+    fields = ["x", "y", "octave", "level", "scale", "score", "orientation",
+              "valid"]
+    buffers = {f: [] for f in fields}
+    descs = []
+
+    dropped = jnp.zeros((B,), jnp.int32)
+    for o in range(pyr.num_octaves):
+        def det(dogs):
+            x, y, lvl, score, valid, n_drop = detect_extrema_octave(
+                dogs, cfg, o)
+            return dict(x=x, y=y, level=lvl, score=score, valid=valid), \
+                n_drop
+
+        cand, n_drop = jax.vmap(det)(pyr.dogs[o])      # fields (B, K)
+        dropped = dropped + n_drop
+        cand = jax.vmap(lambda d, c: refine_octave_lowe(
+            d, c, cfg, pyr.dog_sigmas, o, octave_factor))(pyr.dogs[o], cand)
+
+        g = pyr.gauss[o]                                # (B, L1, H, W)
+        L1, H, W = g.shape[-3:]
+        K = cand["x"].shape[1]
+        dxm, dym = _gradient_xy(g)
+
+        sigma_within = cand["scale"] / jnp.float32(octave_factor ** o)
+        table = jnp.asarray(pyr.gauss_sigmas[o], jnp.float32)
+        gl = jnp.argmin(jnp.abs(table[None, None, :]
+                                - sigma_within[..., None]), axis=-1)
+        in_bounds = ((cand["x"] >= R_ORI) & (cand["x"] < W - R_ORI) &
+                     (cand["y"] >= R_ORI) & (cand["y"] < H - R_ORI))
+
+        # ---- flatten keypoints across the batch for the window stages ----
+        flat = lambda a: a.reshape((B * K,) + a.shape[2:])
+        sw_f = flat(sigma_within)
+        ib_f = flat(in_bounds)
+        r_eff = min(R_DESC, H // 2, W // 2)
+        if r_eff < R_ORI:
+            peak_oris = jnp.zeros((B * K, MAX_ORI_PEAKS), jnp.float32)
+            peak_valid = jnp.zeros((B * K, MAX_ORI_PEAKS), bool)
+            gxw = jnp.zeros((B * K, 2 * R_ORI, 2 * R_ORI), jnp.float32)
+            gyw = jnp.zeros_like(gxw)
+            oy0 = jnp.zeros((B * K,), jnp.float32)
+            ox0 = jnp.zeros((B * K,), jnp.float32)
+        else:
+            # fused (image, level) index into the (B*L1, H, W) map stack
+            gl_f = flat(gl + jnp.arange(B, dtype=gl.dtype)[:, None] * L1)
+            gxw, gyw, oy0, ox0 = gather_gradient_windows(
+                dxm.reshape(B * L1, H, W), dym.reshape(B * L1, H, W),
+                gl_f, flat(cand["y"]), flat(cand["x"]), radius=r_eff,
+                pallas=cfg.pallas)
+            peak_oris, peak_valid = orientation_from_windows(
+                gxw, gyw, oy0, ox0, sw_f, ib_f, cfg, MAX_ORI_PEAKS)
+
+        P = MAX_ORI_PEAKS
+
+        def rep(a):                      # (B, K) -> (B, K*P), peak-major
+            return jnp.repeat(a.reshape(B * K), P, axis=0).reshape(B, K * P)
+
+        dup = dict(
+            x=rep(cand["x"]), y=rep(cand["y"]),
+            octave=jnp.full((B, K * P), o, jnp.int32),
+            level=rep(cand["level"]), scale=rep(cand["scale"]),
+            score=rep(cand["score"]),
+            orientation=peak_oris.reshape(B, K * P),
+            valid=(rep(cand["valid"] & in_bounds)
+                   & peak_valid.reshape(B, K * P)),
+        )
+        if with_descriptors:
+            per_peak = [descriptors_from_windows(
+                gxw, gyw, oy0, ox0, peak_oris[:, p], sw_f, cfg)
+                for p in range(P)]
+            descs.append(jnp.stack(per_peak, axis=1).reshape(B, K * P, -1))
+        for f in fields:
+            buffers[f].append(dup[f])
+
+    kp = {f: jnp.concatenate(buffers[f], axis=1) for f in fields}
+    desc = jnp.concatenate(descs, axis=1) if with_descriptors else None
+
+    N = cfg.max_keypoints
+    rank_score = jnp.where(kp["valid"], kp["score"], -jnp.inf)
+    top_scores, idx = lax.top_k(rank_score, min(N, rank_score.shape[1]))
+    take = lambda a: jnp.take_along_axis(
+        a, idx.reshape(idx.shape + (1,) * (a.ndim - 2)).astype(jnp.int32)
+        if a.ndim > 2 else idx, axis=1)
+    out_valid = take(kp["valid"]) & jnp.isfinite(top_scores)
+    dropped = dropped + jnp.maximum(
+        jnp.sum(kp["valid"].astype(jnp.int32), axis=1)
+        - jnp.sum(out_valid.astype(jnp.int32), axis=1), 0)
+    return Keypoints(
+        x=take(kp["x"]), y=take(kp["y"]), octave=take(kp["octave"]),
+        level=take(kp["level"]), scale=take(kp["scale"]),
+        score=take(kp["score"]), orientation=take(kp["orientation"]),
+        valid=out_valid,
+        desc=(jnp.take_along_axis(desc, idx[..., None], axis=1)
+              if desc is not None else None),
+        n_dropped=dropped,
+    )
+
+
 def extract_batch(imgs: jnp.ndarray, cfg: SiftConfig,
                   with_descriptors: bool = True) -> Keypoints:
     """Batched extraction over (B, H, W); all Keypoints fields gain a leading B."""
-    return jax.vmap(lambda im: extract(im, cfg, with_descriptors))(imgs)
+    if cfg.mode == "parity":
+        return jax.vmap(lambda im: extract(im, cfg, with_descriptors))(imgs)
+    return extract_lowe_batched(imgs, cfg, with_descriptors)
