@@ -107,8 +107,8 @@ def _pipeline_cfg():
         ba=BAConfig(max_iterations=20, cg_iterations=50),
         ba_tracking_iterations=8, ba_tracking_cg=20, ba_async=True,
         tracking_ransac_hypotheses=int(
-            os.environ.get("SLAM_BENCH_TRACK_HYPS", "4")),
-        tracking_gn_iters=int(os.environ.get("SLAM_BENCH_TRACK_ITERS", "4")),
+            os.environ.get("SLAM_BENCH_TRACK_HYPS", "8")),
+        tracking_gn_iters=int(os.environ.get("SLAM_BENCH_TRACK_ITERS", "8")),
         chunked_tracking=True,
         extract_ahead=bool(int(os.environ.get("SLAM_BENCH_EXTRACT_AHEAD",
                                               "1"))),

@@ -207,12 +207,16 @@ class PipelineConfig:
     # prediction refined over guided matches, so this is a refinement
     # robustness knob, not a cold-start search; the keyframe-promotion
     # and relocalization paths keep the solver's full default budget.
-    # Default (4, 4): measured equal e2e quality to (8, 8) (two-plane
-    # chunked ATE 0.0404 vs 0.0424, tracked 0.95 both) and -26% on the
-    # fused chunk tracker's device time (19.3 -> 14.3 ms per 16-frame
-    # chunk, v5e r4).
-    tracking_ransac_hypotheses: int = 4
-    tracking_gn_iters: int = 4
+    # Default (8, 8). A (4, 4) budget measured equal SHORT-horizon e2e
+    # quality (two-plane chunked ATE 0.0404 vs 0.0424) and -26% chunk-
+    # tracker device time, but on the 220-frame long-loop benchmark it
+    # balloons drift (sim3 ATE 0.173 -> 0.91 m; the degraded odometry
+    # then feeds the pose graph bad loop geometry and global BA
+    # diverges). Long-trajectory accuracy sets the default; tune down
+    # only for workloads with dense loop closure or external pose
+    # correction.
+    tracking_ransac_hypotheses: int = 8
+    tracking_gn_iters: int = 8
 
     # Deferred (asynchronous) window BA: dispatch the BA program but don't
     # block on its results; they are applied before the state is next
