@@ -383,6 +383,9 @@ def cmd_sfm(args) -> int:
                        with_scale=not metric)
         kind = "se3" if metric else "sim3"
         print(f"ATE RMSE ({kind}-aligned): {ate:.4f} m")
+        from sift_tpu.eval.ate import rpe_rmse
+        rpe = rpe_rmse(pipe.positions(), gt, delta=1)
+        print(f"RPE RMSE (delta=1): {rpe:.4f} m")
     if args.traj:
         if getattr(args, "traj_format", "xyz") == "tum":
             from sift_tpu.io.trajectory import save_tum
