@@ -110,7 +110,7 @@ def probe_backend_alive(timeout_s: int = 120) -> bool:
 def main() -> int:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.expanduser("~/.cache/sift_tpu_xla"))
-    if not probe_backend_alive():
+    if not probe_backend_alive() and not probe_backend_alive(timeout_s=240):
         print("bench.py: JAX backend unreachable (tunnel down?) — "
               "no measurement possible", file=sys.stderr)
         return 3
