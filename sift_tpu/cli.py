@@ -383,9 +383,15 @@ def cmd_sfm(args) -> int:
                        with_scale=not metric)
         kind = "se3" if metric else "sim3"
         print(f"ATE RMSE ({kind}-aligned): {ate:.4f} m")
-        from sift_tpu.eval.ate import rpe_rmse
-        rpe = rpe_rmse(pipe.positions(), gt, delta=1)
-        print(f"RPE RMSE (delta=1): {rpe:.4f} m")
+        # RPE compares raw per-step deltas, so the estimate must be in the
+        # ground-truth frame first (and metric scale for monocular runs).
+        from sift_tpu.eval.ate import rpe_rmse, umeyama_alignment
+        s, R, t = umeyama_alignment(np.asarray(pipe.positions(), np.float64),
+                                    np.asarray(gt, np.float64),
+                                    with_scale=not metric)
+        est_aligned = (s * (R @ np.asarray(pipe.positions()).T)).T + t
+        rpe = rpe_rmse(est_aligned, gt, delta=1)
+        print(f"RPE RMSE (delta=1, {kind}-aligned): {rpe:.4f} m")
     if args.traj:
         if getattr(args, "traj_format", "xyz") == "tum":
             from sift_tpu.io.trajectory import save_tum
