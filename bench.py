@@ -102,7 +102,17 @@ def probe_backend_alive(timeout_s: int = 120) -> bool:
     try:
         p = subprocess.run([sys.executable, "-c", code],
                            capture_output=True, text=True, timeout=timeout_s)
-        return p.returncode == 0 and "alive" in p.stdout
+        if p.returncode != 0 or "alive" not in p.stdout:
+            return False
+        # A failed accelerator plugin can fall back to the always-present
+        # CPU backend; that would silently publish CPU numbers as the
+        # headline. Accept cpu only when the environment asked for it.
+        if p.stdout.split()[-1] == "cpu" and \
+                os.environ.get("JAX_PLATFORMS", "") != "cpu":
+            print("bench.py: backend probe landed on CPU (accelerator "
+                  "plugin failed?)", file=sys.stderr)
+            return False
+        return True
     except Exception:
         return False
 

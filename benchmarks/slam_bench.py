@@ -207,7 +207,7 @@ def bench_system():
     if want_floor:
         try:
             n_chunks = max(1, (len(frames) - N_WARMUP) // chunk)
-            ba_per_chunk = min(1.0, stamper.n_ba / n_chunks)
+            ba_per_chunk = stamper.n_ba / n_chunks
             rec.update(bench_device_floor(pipe, frames[-chunk:],
                                           ba_per_chunk))
         except Exception as e:            # the wall-clock headline never

@@ -379,18 +379,18 @@ def cmd_sfm(args) -> int:
         # RGB-D/stereo trajectories are metric (rigid alignment); monocular
         # ones are scale-free (similarity alignment).
         metric = use_depth or use_stereo
-        ate = ate_rmse(pipe.positions(), gt, align=True,
-                       with_scale=not metric)
+        # One alignment serves both metrics (RPE compares raw per-step
+        # deltas, so the estimate must be in the ground-truth frame first
+        # — and at metric scale for monocular runs).
+        from sift_tpu.eval.ate import rpe_rmse, umeyama_alignment
+        est = np.asarray(pipe.positions(), np.float64)
+        gt64 = np.asarray(gt, np.float64)
+        s, R, t = umeyama_alignment(est, gt64, with_scale=not metric)
+        est_aligned = (s * (R @ est.T)).T + t
+        ate = ate_rmse(est_aligned, gt64, align=False)
         kind = "se3" if metric else "sim3"
         print(f"ATE RMSE ({kind}-aligned): {ate:.4f} m")
-        # RPE compares raw per-step deltas, so the estimate must be in the
-        # ground-truth frame first (and metric scale for monocular runs).
-        from sift_tpu.eval.ate import rpe_rmse, umeyama_alignment
-        s, R, t = umeyama_alignment(np.asarray(pipe.positions(), np.float64),
-                                    np.asarray(gt, np.float64),
-                                    with_scale=not metric)
-        est_aligned = (s * (R @ np.asarray(pipe.positions()).T)).T + t
-        rpe = rpe_rmse(est_aligned, gt, delta=1)
+        rpe = rpe_rmse(est_aligned, gt64, delta=1)
         print(f"RPE RMSE (delta=1, {kind}-aligned): {rpe:.4f} m")
     if args.traj:
         if getattr(args, "traj_format", "xyz") == "tum":

@@ -242,7 +242,9 @@ def extract_lowe_batched(imgs: jnp.ndarray, cfg: SiftConfig,
         P = MAX_ORI_PEAKS
 
         def rep(a):                      # (B, K) -> (B, K*P), peak-major
-            return jnp.repeat(a.reshape(B * K), P, axis=0).reshape(B, K * P)
+            # [k0, k0, k1, k1, ...] per row — must match peak_oris
+            # .reshape(B, K*P) and the descriptor stacking order.
+            return jnp.repeat(a, P, axis=1)
 
         dup = dict(
             x=rep(cand["x"]), y=rep(cand["y"]),
@@ -267,9 +269,7 @@ def extract_lowe_batched(imgs: jnp.ndarray, cfg: SiftConfig,
     N = cfg.max_keypoints
     rank_score = jnp.where(kp["valid"], kp["score"], -jnp.inf)
     top_scores, idx = lax.top_k(rank_score, min(N, rank_score.shape[1]))
-    take = lambda a: jnp.take_along_axis(
-        a, idx.reshape(idx.shape + (1,) * (a.ndim - 2)).astype(jnp.int32)
-        if a.ndim > 2 else idx, axis=1)
+    take = lambda a: jnp.take_along_axis(a, idx, axis=1)
     out_valid = take(kp["valid"]) & jnp.isfinite(top_scores)
     dropped = dropped + jnp.maximum(
         jnp.sum(kp["valid"].astype(jnp.int32), axis=1)

@@ -33,6 +33,7 @@ from jax import lax
 from sift_tpu.config import PipelineConfig
 from sift_tpu.types import Keypoints, Matches
 from sift_tpu.frontend.sift import extract
+from sift_tpu.frontend.sift import extract_batch as extract_batch_fe
 from sift_tpu.matching.matcher import match_descriptors
 from sift_tpu.geometry import lie, lie_np
 from sift_tpu.geometry.epipolar import estimate_relative_pose
@@ -225,8 +226,9 @@ class SfmPipeline:
             # chunk's packed result read), so frames cross the link in
             # their native 1-byte dtype whenever the caller has one.
             imgs = imgs.astype(jnp.float32)
-            return jax.vmap(
-                lambda im: extract(im, cfg.sift, with_descriptors=True))(imgs)
+            # Batch-flattened path (frontend/sift.py): same outputs as
+            # vmap(extract), measured faster at the chunk size.
+            return extract_batch_fe(imgs, cfg.sift, True)
 
         if self.mesh is not None:
             from sift_tpu.dist.frontend_dist import extract_batch_sharded
