@@ -95,19 +95,25 @@ def probe_backend_alive(timeout_s: int = 120) -> bool:
     A hung bench leaves the driver with NOTHING — probing in a killable
     subprocess converts that into a fast, diagnosable failure.
     """
+    import re
     import subprocess
     code = ("import jax, jax.numpy as jnp;"
             "x = jnp.ones((8, 8));"
-            "print('alive', float((x @ x).sum()), jax.devices()[0].platform)")
+            "print('alive sum=%s platform=%s' % (float((x @ x).sum()),"
+            " jax.devices()[0].platform))")
     try:
         p = subprocess.run([sys.executable, "-c", code],
                            capture_output=True, text=True, timeout=timeout_s)
-        if p.returncode != 0 or "alive" not in p.stdout:
+        # Parse the single marker line with a regex over ALL of stdout:
+        # plugin/atexit chatter printed after our line must not confuse
+        # the platform detection.
+        m = re.search(r"alive sum=\S+ platform=(\w+)", p.stdout)
+        if p.returncode != 0 or m is None:
             return False
         # A failed accelerator plugin can fall back to the always-present
         # CPU backend; that would silently publish CPU numbers as the
         # headline. Accept cpu only when the environment asked for it.
-        if p.stdout.split()[-1] == "cpu" and \
+        if m.group(1) == "cpu" and \
                 os.environ.get("JAX_PLATFORMS", "") != "cpu":
             print("bench.py: backend probe landed on CPU (accelerator "
                   "plugin failed?)", file=sys.stderr)

@@ -382,7 +382,8 @@ def cmd_sfm(args) -> int:
         # One alignment serves both metrics (RPE compares raw per-step
         # deltas, so the estimate must be in the ground-truth frame first
         # — and at metric scale for monocular runs).
-        from sift_tpu.eval.ate import rpe_rmse, umeyama_alignment
+        from sift_tpu.eval.ate import (rpe_rmse, rpe_rmse_poses,
+                                       poses_from_Rt, umeyama_alignment)
         est = np.asarray(pipe.positions(), np.float64)
         gt64 = np.asarray(gt, np.float64)
         s, R, t = umeyama_alignment(est, gt64, with_scale=not metric)
@@ -390,8 +391,18 @@ def cmd_sfm(args) -> int:
         ate = ate_rmse(est_aligned, gt64, align=False)
         kind = "se3" if metric else "sim3"
         print(f"ATE RMSE ({kind}-aligned): {ate:.4f} m")
-        rpe = rpe_rmse(est_aligned, gt64, delta=1)
-        print(f"RPE RMSE (delta=1, {kind}-aligned): {rpe:.4f} m")
+        gtT = seq.gt_poses() if hasattr(seq, "gt_poses") else None
+        if gtT is not None:
+            # True TUM/evo RPE from full poses (alignment-invariant up to
+            # the monocular scale, which Umeyama supplies).
+            Rs, ts = pipe.poses_Rt()
+            estT = poses_from_Rt(Rs, ts)
+            rpe = rpe_rmse_poses(estT, gtT, delta=1, scale=s)
+            print(f"RPE RMSE (TUM, delta=1): {rpe:.4f} m")
+        else:
+            rpe = rpe_rmse(est_aligned, gt64, delta=1)
+            print(f"RPE RMSE (position-delta, delta=1, {kind}-aligned): "
+                  f"{rpe:.4f} m")
     if args.traj:
         if getattr(args, "traj_format", "xyz") == "tum":
             from sift_tpu.io.trajectory import save_tum

@@ -1,10 +1,14 @@
 """Data-parallel SIFT extraction over a device mesh.
 
-Pure DP is the compiler-partitioned path: images are sharded on the batch
-axis with a `NamedSharding`, the per-image extractor is vmapped, and XLA
-partitions the whole computation with zero communication (keypoint outputs
-stay sharded with their images). No `shard_map` needed — this is exactly
-what `pjit` is for.
+Pure DP with explicit per-shard programs: images are sharded on the batch
+axis and each device runs the batch-flattened extractor
+(`extract_lowe_batched`) on its local shard via `shard_map` — zero
+communication, keypoint outputs stay sharded with their images. `shard_map`
+(not `pjit`-of-the-global-program) matters here: the flattened extractor
+fuses (image, level) indices into a (B*L, H, W) gradient-stack gather, and
+the SPMD partitioner cannot prove those gathers stay shard-local — per-shard
+tracing keeps them local by construction AND keeps the mesh path running the
+exact program the single-device chunk path runs (bit-identical outputs).
 """
 
 from __future__ import annotations
@@ -13,9 +17,10 @@ import functools
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
 
 from sift_tpu.config import SiftConfig
-from sift_tpu.frontend.sift import extract
+from sift_tpu.frontend.sift import extract_batch
 from sift_tpu.types import Keypoints
 
 
@@ -40,10 +45,12 @@ def _extract_sharded_jit(mesh: Mesh, cfg: SiftConfig,
     closure per call would re-trace every invocation (the SLAM loop calls
     this once per chunk)."""
     axes = mesh.axis_names
+    spec = P(axes)
 
-    @functools.partial(jax.jit, out_shardings=NamedSharding(mesh, P(axes)))
-    def run(x):
+    def per_shard(x):
         x = x.astype(jax.numpy.float32)
-        return jax.vmap(lambda im: extract(im, cfg, with_descriptors))(x)
+        return extract_batch(x, cfg, with_descriptors)
 
-    return run
+    sharded = shard_map(per_shard, mesh=mesh, in_specs=spec,
+                        out_specs=spec, check_vma=False)
+    return jax.jit(sharded)

@@ -61,10 +61,51 @@ def ate_rmse(est_xyz: np.ndarray, gt_xyz: np.ndarray,
 
 
 def rpe_rmse(est_xyz: np.ndarray, gt_xyz: np.ndarray, delta: int = 1) -> float:
-    """RMSE of translational relative pose error over a frame delta."""
+    """RMSE of translational *position-delta* RPE over a frame delta.
+
+    NOTE: this is a position-only drift proxy (||Δest − Δgt|| in the
+    aligned world frame), NOT the TUM/evo RPE, which expresses the
+    relative pose in the earlier frame's local coordinates. Use
+    `rpe_rmse_poses` when full poses are available — its numbers match
+    `evo_rpe` on the same trajectory.
+    """
     est = np.asarray(est_xyz, np.float64)
     gt = np.asarray(gt_xyz, np.float64)
     d_est = est[delta:] - est[:-delta]
     d_gt = gt[delta:] - gt[:-delta]
     err = d_est - d_gt
     return float(np.sqrt((err ** 2).sum(axis=1).mean()))
+
+
+def rpe_rmse_poses(est_T: np.ndarray, gt_T: np.ndarray, delta: int = 1,
+                   scale: float = 1.0) -> float:
+    """TUM/evo-compatible translational RPE from full 4x4 poses.
+
+    E_i = (Q_i^-1 Q_{i+d})^-1 (P_i^-1 P_{i+d}); reports RMSE of ||trans(E)||
+    (Sturm et al., IROS 2012, eq. 2-4). Relative poses are invariant to a
+    global rigid alignment, so only `scale` (monocular Umeyama scale applied
+    to estimated translations) affects the result.
+
+    est_T, gt_T: (F, 4, 4) camera-to-world poses.
+    """
+    est = np.asarray(est_T, np.float64).copy()
+    gt = np.asarray(gt_T, np.float64)
+    assert est.shape == gt.shape and est.shape[1:] == (4, 4), \
+        (est.shape, gt.shape)
+    est[:, :3, 3] *= scale
+    rel_est = np.linalg.inv(est[:-delta]) @ est[delta:]
+    rel_gt = np.linalg.inv(gt[:-delta]) @ gt[delta:]
+    err = np.linalg.inv(rel_gt) @ rel_est
+    t = err[:, :3, 3]
+    return float(np.sqrt((t ** 2).sum(axis=1).mean()))
+
+
+def poses_from_Rt(Rs: np.ndarray, ts: np.ndarray) -> np.ndarray:
+    """Stack (F, 3, 3) rotations + (F, 3) centers into (F, 4, 4) poses."""
+    Rs = np.asarray(Rs, np.float64)
+    ts = np.asarray(ts, np.float64)
+    F = Rs.shape[0]
+    T = np.tile(np.eye(4), (F, 1, 1))
+    T[:, :3, :3] = Rs
+    T[:, :3, 3] = ts
+    return T

@@ -77,6 +77,12 @@ class Sequence:
             return None
         return np.stack([f.gt_pose[:3, 3] for f in self.frames])
 
+    def gt_poses(self) -> Optional[np.ndarray]:
+        """(F, 4, 4) camera-to-world ground-truth poses, or None."""
+        if any(f.gt_pose is None for f in self.frames):
+            return None
+        return np.stack([f.gt_pose for f in self.frames])
+
 
 def _read_tum_index(path: str) -> List[Tuple[float, str]]:
     out = []

@@ -95,8 +95,9 @@ def save_ply(path: str, points: np.ndarray,
                      "property uchar blue\n")
         fh.write("end_header\n")
         if colors is None:
-            for p in pts:
-                fh.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+            # Vectorized: per-line Python formatting costs seconds at
+            # 100k+ landmarks on the CLI exit path.
+            np.savetxt(fh, pts, fmt="%.6f")
         else:
             cols = np.asarray(colors, np.uint8).reshape(-1, 3)
             assert cols.shape[0] == n, (cols.shape, n)

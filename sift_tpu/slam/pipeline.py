@@ -189,6 +189,11 @@ class SfmPipeline:
         # loop-closure edges; optimized on every accepted closure.
         self.pose_edges: List[Dict] = []
         self.num_loop_closures = 0
+        # Per-candidate loop-probe outcomes (host bookkeeping, no
+        # dispatch cost): every probed candidate's gate values land here
+        # so knife-edge acceptance can be diagnosed offline — which gate
+        # (votes / n_has / n_inl / rmse) sits closest to its threshold.
+        self.loop_probe_log: List[Dict] = []
 
         # Local-map cache: rebuilt only when the observation graph changes
         # (promotion / landmark fusion / load), not every tracked frame.
@@ -1943,9 +1948,13 @@ class SfmPipeline:
             rmse = float(row[8])
             # `rmse <= max` (not `not >`): a degenerate candidate's NaN
             # rmse must reject, not slip past an inverted comparison.
-            if n_has < cfg.loop_min_inliers or \
-                    n_inl < cfg.loop_min_inliers or \
-                    not (rmse <= cfg.loop_max_rmse):
+            accept = (n_has >= cfg.loop_min_inliers
+                      and n_inl >= cfg.loop_min_inliers
+                      and rmse <= cfg.loop_max_rmse)
+            self.loop_probe_log.append(dict(
+                kf=new_idx, old=int(oi), n_has=n_has, n_inl=n_inl,
+                rmse=rmse, accepted=bool(accept)))
+            if not accept:
                 continue
             pose = row[:6].astype(np.float32)
             ib_all = row[9:9 + Mcap].astype(np.int64)

@@ -51,13 +51,25 @@ def chained_time(fn: Callable, args, reps_lo: int = 2, reps_hi: int = 12,
         # transiently under load ("response body closed before all bytes
         # were read", observed r4) — retry the compile+warm call; the
         # compilation cache makes the retry cheap once the compile landed.
+        # Deterministic failures (HTTP 413 oversized program, shape/type
+        # errors) must surface immediately, not after 3 retries + sleeps.
         for attempt in range(3):
             try:
                 float(f(*args))               # compile + warm
                 break
-            except Exception:
+            except (TypeError, ValueError):
+                raise                          # deterministic: no retry
+            except Exception as e:
+                msg = str(e)
+                if "413" in msg or "INVALID_ARGUMENT" in msg \
+                        or "RESOURCE_EXHAUSTED" in msg:
+                    raise                      # deterministic: no retry
                 if attempt == 2:
                     raise
+                import sys
+                print(f"chained_time: transient compile/warm failure "
+                      f"(attempt {attempt + 1}/3): {type(e).__name__}: "
+                      f"{msg[:200]}", file=sys.stderr)
                 time.sleep(2.0 * (attempt + 1))
         best = float("inf")
         for _ in range(tries):
