@@ -33,7 +33,7 @@ from sift_tpu.frontend.windows import (
     R_ORI,
     gather_gradient_windows,
     orientation_from_windows,
-    descriptors_from_windows,
+    descriptors_from_windows_multi,
 )
 from sift_tpu.frontend.parity import extract_parity
 
@@ -118,13 +118,15 @@ def extract_lowe(img: jnp.ndarray, cfg: SiftConfig,
             valid=rep(cand["valid"] & in_bounds) & peak_valid.reshape(-1),
         )
         if with_descriptors:
-            # One pass per orientation peak over the SAME windows (no
-            # duplicated (K*P, d, d) materialization); stack order matches
-            # jnp.repeat's k0p0, k0p1, k1p0, ... interleaving.
-            per_peak = [descriptors_from_windows(
-                gxw, gyw, oy0, ox0, peak_oris[:, p], sigma_within, cfg)
-                for p in range(P)]
-            descs.append(jnp.stack(per_peak, axis=1).reshape(K * P, -1))
+            # ALL orientation peaks over the SAME windows in one call (the
+            # Pallas kernel reads windows from HBM once for both peaks; the
+            # XLA fallback loops per peak — no duplicated (K*P, d, d)
+            # materialization either way); stack order matches jnp.repeat's
+            # k0p0, k0p1, k1p0, ... interleaving.
+            dm = descriptors_from_windows_multi(
+                gxw, gyw, oy0, ox0, peak_oris, sigma_within, cfg,
+                pallas=cfg.pallas)
+            descs.append(dm.reshape(K * P, -1))
         for f in fields:
             buffers[f].append(dup[f])
 
@@ -256,10 +258,10 @@ def extract_lowe_batched(imgs: jnp.ndarray, cfg: SiftConfig,
                    & peak_valid.reshape(B, K * P)),
         )
         if with_descriptors:
-            per_peak = [descriptors_from_windows(
-                gxw, gyw, oy0, ox0, peak_oris[:, p], sw_f, cfg)
-                for p in range(P)]
-            descs.append(jnp.stack(per_peak, axis=1).reshape(B, K * P, -1))
+            dm = descriptors_from_windows_multi(
+                gxw, gyw, oy0, ox0, peak_oris, sw_f, cfg,
+                pallas=cfg.pallas)
+            descs.append(dm.reshape(B, K * P, -1))
         for f in fields:
             buffers[f].append(dup[f])
 

@@ -195,7 +195,14 @@ def descriptors_from_windows(gx, gy, oy0, ox0, orientation_deg,
                       ooh.astype(jnp.bfloat16),
                       preferred_element_type=jnp.float32)  # (K, 4, 4, 8)
     desc = desc.reshape(K, CELLS * CELLS * BINS)
+    return _finalize_descriptor(desc, cfg)
 
+
+def _finalize_descriptor(desc: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
+    """L2-normalize + clamp + renormalize (Lowe 2004 §6.1) or RootSIFT.
+
+    Shared tail of the XLA and Pallas descriptor paths; `desc` is the raw
+    (..., 128) trilinear histogram."""
     norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
     desc = desc / jnp.maximum(norm, 1e-7)
     desc = jnp.minimum(desc, cfg.descriptor_max_component)
@@ -208,3 +215,52 @@ def descriptors_from_windows(gx, gy, oy0, ox0, orientation_deg,
         return jnp.sqrt(desc / jnp.maximum(s, 1e-7))
     norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
     return desc / jnp.maximum(norm, 1e-7)
+
+
+def descriptors_from_windows_multi(gx, gy, oy0, ox0, peak_oris,
+                                   sigma_within, cfg: SiftConfig,
+                                   pallas: str = "auto") -> jnp.ndarray:
+    """Descriptors for ALL orientation peaks of each keypoint: (K, P, 128).
+
+    peak_oris: (K, P) degrees. On TPU (or `pallas="on"`) this runs the
+    VMEM-resident Pallas accumulation kernel
+    (`kernels/pallas/descriptor.py`) — windows are read from HBM once for
+    both peaks and none of the (K, d*d, ·) soft-assignment operands are
+    materialized (the measured HBM-bandwidth wall of the XLA path).
+    Falls back to one `descriptors_from_windows` pass per peak.
+    """
+    K, d, _ = gx.shape
+    P = peak_oris.shape[1]
+    from sift_tpu.kernels.pallas.descriptor import N_PEAKS
+    if P == N_PEAKS and _use_pallas(pallas, d // 2):
+        from sift_tpu.kernels.pallas.descriptor import (
+            descriptor_accumulate_pallas)
+        interp = jax.devices()[0].platform != "tpu"
+        Kp = -(-K // 128) * 128
+        padk = lambda a: jnp.pad(a, ((0, Kp - K),) + ((0, 0),) *
+                                 (a.ndim - 1))
+        # mag/angle in XLA (fuses with the kernel-layout transpose; Mosaic
+        # has no atan2) — bit-identical bin maths to the XLA path.
+        fgx = gx.reshape(K, d * d)
+        fgy = gy.reshape(K, d * d)
+        mag = jnp.sqrt(fgx * fgx + fgy * fgy)
+        a45 = jnp.degrees(jnp.arctan2(fgy, fgx)) * (1.0 / 45.0)
+        magT = padk(mag).T                       # (P, Kp)
+        a45T = padk(a45).T
+        hw = jnp.maximum(3.0 * sigma_within, 1e-3)
+        theta = jnp.deg2rad(peak_oris)
+        rows = [oy0, ox0, 1.0 / hw]
+        for pk in range(N_PEAKS):
+            rows += [jnp.cos(theta[:, pk]), jnp.sin(theta[:, pk]),
+                     peak_oris[:, pk] * (1.0 / 45.0)]
+        scal = jnp.zeros((16, K), jnp.float32).at[:len(rows)].set(
+            jnp.stack(rows))
+        scal = jnp.pad(scal, ((0, 0), (0, Kp - K)))
+        raw = descriptor_accumulate_pallas(magT, a45T, scal, d, interp)
+        # (2*128, Kp) -> (K, 2, 128); row pk*128 + c matches the XLA
+        # (K, 4, 4, 8) -> (K, 128) reshape.
+        desc = raw.reshape(N_PEAKS, 128, Kp).transpose(2, 0, 1)[:K]
+        return _finalize_descriptor(desc, cfg)
+    return jnp.stack([descriptors_from_windows(
+        gx, gy, oy0, ox0, peak_oris[:, p], sigma_within, cfg)
+        for p in range(P)], axis=1)
