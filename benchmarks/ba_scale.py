@@ -34,6 +34,10 @@ N_LMS = int(os.environ.get("BA_SCALE_LMS", "32768"))
 OBS_PER_CAM = int(os.environ.get("BA_SCALE_OBS_PER_CAM", "1024"))
 MESH_N = int(os.environ.get("BA_SCALE_MESH", "0"))
 ITERS = int(os.environ.get("BA_SCALE_ITERS", "10"))
+LOSS = os.environ.get("BA_SCALE_LOSS", "huber")
+CG = int(os.environ.get("BA_SCALE_CG", "50"))
+POSE_NOISE = float(os.environ.get("BA_SCALE_POSE_NOISE", "0.02"))
+LM_NOISE = float(os.environ.get("BA_SCALE_LM_NOISE", "0.2"))
 
 
 def main():
@@ -49,7 +53,9 @@ def main():
     rng = np.random.default_rng(0)
     t0 = time.perf_counter()
     sc = make_corridor_scene(rng, num_cameras=N_CAMS, num_landmarks=N_LMS,
-                             obs_per_camera=OBS_PER_CAM)
+                             obs_per_camera=OBS_PER_CAM,
+                             pose_noise=POSE_NOISE,
+                             landmark_noise=LM_NOISE)
     n_obs = sc["obs_cam"].shape[0]
     n_lms = sc["landmarks_init"].shape[0]
     print(json.dumps({"scene": {"cams": N_CAMS, "lms": n_lms,
@@ -57,8 +63,8 @@ def main():
                                 "gen_s": round(time.perf_counter() - t0, 1)}}),
           flush=True)
 
-    cfg = BAConfig(max_iterations=ITERS, cg_iterations=50,
-                   solver="pcg")
+    cfg = BAConfig(max_iterations=ITERS, cg_iterations=CG,
+                   solver="pcg", loss=LOSS)
     fixed = np.zeros(N_CAMS, bool)
     fixed[:2] = True
 
@@ -67,14 +73,30 @@ def main():
              "obs_lm", "obs_uv", "obs_valid")]
 
     @jax.jit
-    def _rmse(poses, lms):
+    def _stats(poses, lms):
         r, _ = reprojection_residuals(poses, args[1], lms, args[3],
                                       args[4], args[5])
-        r = r * args[6][:, None]
-        return jnp.sqrt(jnp.sum(r ** 2) / jnp.maximum(jnp.sum(args[6]), 1))
+        rn = jnp.linalg.norm(r, axis=-1)
+        rn = jnp.where(args[6], rn, jnp.nan)
+        rmse_ = jnp.sqrt(jnp.nansum(rn ** 2)
+                         / jnp.maximum(jnp.sum(args[6]), 1))
+        med = jnp.nanmedian(rn)
+        return rmse_, med
+
+    def stats(poses, lms):
+        """(raw rmse, median |r|, camera-position rmse vs gt) — raw RMSE
+        alone misleads for ROBUST solves: a few bounded-cost wrecked
+        observations inflate it while the pose estimate is fine."""
+        from sift_tpu.geometry import lie_np
+        from sift_tpu.eval.ate import ate_rmse
+        rmse_, med = _stats(poses, lms)
+        _, centers = lie_np.se3_exp(np.asarray(poses, np.float64))
+        _, gt_c = lie_np.se3_exp(np.asarray(sc["poses_gt"], np.float64))
+        pos = ate_rmse(centers, gt_c, align=True, with_scale=False)
+        return float(rmse_), float(med), pos
 
     def rmse(poses, lms):
-        return float(_rmse(poses, lms))
+        return stats(poses, lms)[0]
 
     # ---- convergence curve: one compiled program per iteration count is
     # wasteful; instead run the full solve and read its internal cost, then
@@ -83,12 +105,13 @@ def main():
     for it in (0, 1, 2, 4, ITERS):
         c = cfg.replace(max_iterations=max(it, 0))
         if it == 0:
-            curve.append((0, rmse(args[0], args[2])))
+            curve.append((0,) + stats(args[0], args[2]))
             continue
         st = run_ba_jit(*args, c, jnp.asarray(fixed))
-        curve.append((it, rmse(st.poses, st.landmarks)))
-    print(json.dumps({"rmse_curve_px": [[i, round(v, 4)] for i, v in
-                                        curve]}), flush=True)
+        curve.append((it,) + stats(st.poses, st.landmarks))
+    print(json.dumps({"curve_it_rmse_median_posrmse": [
+        [i, round(v, 4), round(m, 4), round(p, 4)]
+        for i, v, m, p in curve]}), flush=True)
 
     # ---- device time per LM iteration: difference two iteration budgets
     # of the SAME compiled solve (the solver is one jitted program; the

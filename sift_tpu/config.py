@@ -145,6 +145,13 @@ class BAConfig:
     damping_max: float = 1e6
     huber_delta: float = 3.0        # pixels; robust loss scale
     loss: str = "huber"             # "huber" | "cauchy" | "none"
+    # Graduated robust loss: effective delta = max(huber_delta,
+    # robust_anneal * median_residual). Prevents the measured IRLS
+    # divergence on badly-initialized map-scale problems (the
+    # everything-is-an-outlier regime); problems whose inliers fit
+    # (median < delta/robust_anneal) see plain huber_delta, so
+    # true-outlier rejection is unchanged. 0 disables.
+    robust_anneal: float = 3.0
     jacobi_precond: bool = True
     # Reduced-camera-system solver: "pcg" (matrix-free, scales to many
     # cameras), "dense" (one-shot Cholesky of the 6Cx6C Schur complement —
@@ -256,6 +263,17 @@ class PipelineConfig:
     # Bootstrap / keyframe policy.
     min_bootstrap_matches: int = 40
     min_bootstrap_parallax: float = 8.0   # px, median flow before two-view init
+    # Independent H-vs-E RANSAC attempts per bootstrap try, selected by
+    # triangulation health (n_good) — consensus across keys removes the
+    # single-draw knife edge on plane-dominant scenes (r5; measured in
+    # tools/diag_knife_edge.py).
+    boot_attempts: int = 4
+    # A homography-selected bootstrap must see this multiple of the
+    # parallax gate before being trusted: near the gate H ~ I and its
+    # Faugeras decomposition is pure noise (low parallax cannot
+    # invalidate any motion model, so health checks pass regardless).
+    # Deferred frames are pose-backfilled when the bootstrap lands.
+    h_parallax_factor: float = 2.0
     kf_min_tracked: int = 60              # new keyframe when tracked lms drop below
     kf_max_interval: int = 10             # ... or this many frames elapsed
     min_triangulation_angle_deg: float = 0.5

@@ -157,10 +157,21 @@ def extract_lowe(img: jnp.ndarray, cfg: SiftConfig,
 
 def extract(img: jnp.ndarray, cfg: SiftConfig,
             with_descriptors: bool = True) -> Keypoints:
-    """Extract SIFT keypoints from one (H, W) float32 image in [0, image_max]."""
+    """Extract SIFT keypoints from one (H, W) float32 image in [0, image_max].
+
+    Lowe mode routes through the batched extractor at B=1 — ONE extraction
+    semantic for every caller (r5 unification; VERDICT r4 #2). The r4
+    "knife edge on keypoint low bits" that justified a separate
+    single-image program was diagnosed as bootstrap-frame sensitivity in
+    the SLAM pipeline (tools/diag_bootstrap.py), fixed there
+    (health-selected two-view model + deferral + pose backfill), so the
+    duality is retired. `extract_lowe` remains as the per-image semantic
+    oracle for equivalence tests.
+    """
     if cfg.mode == "parity":
         return extract_parity(img, cfg)
-    return extract_lowe(img, cfg, with_descriptors=with_descriptors)
+    kp = extract_lowe_batched(img[None], cfg, with_descriptors)
+    return jax.tree.map(lambda a: a[0], kp)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -170,7 +181,8 @@ def extract_jit(img: jnp.ndarray, cfg: SiftConfig,
 
 
 def extract_lowe_batched(imgs: jnp.ndarray, cfg: SiftConfig,
-                         with_descriptors: bool = True) -> Keypoints:
+                         with_descriptors: bool = True,
+                         _upto: str | None = None) -> Keypoints:
     """Batch-flattened lowe extraction over (B, H, W).
 
     Structurally `vmap(extract_lowe)` — same kernels, same per-keypoint
@@ -184,9 +196,18 @@ def extract_lowe_batched(imgs: jnp.ndarray, cfg: SiftConfig,
     dimension — they are stencil/top_k work that batches well. Window
     gathers index a (2, B*L, H, W) level-stack with per-keypoint fused
     (image, level) indices, so the flattening costs nothing.
+
+    `_upto`: instrumentation only (benchmarks/roofline_r5.py) — truncate
+    the program after the named stage ("pyramid" | "extrema" | "refine" |
+    "windows" | "orientation") and return the partial products, so
+    prefix-differenced timings/cost-analysis attribute to stages of the
+    REAL fused program rather than re-derived stage replicas.
     """
     B = imgs.shape[0]
     pyr = build_pyramid(imgs, cfg)       # batch-transparent: (B, L, H, W)
+    if _upto == "pyramid":
+        return pyr
+    probes = []
     octave_factor = cfg.k ** (cfg.dogs_per_epoch - 1)
 
     fields = ["x", "y", "octave", "level", "scale", "score", "orientation",
@@ -204,8 +225,14 @@ def extract_lowe_batched(imgs: jnp.ndarray, cfg: SiftConfig,
 
         cand, n_drop = jax.vmap(det)(pyr.dogs[o])      # fields (B, K)
         dropped = dropped + n_drop
+        if _upto == "extrema":
+            probes.append(cand)
+            continue
         cand = jax.vmap(lambda d, c: refine_octave_lowe(
             d, c, cfg, pyr.dog_sigmas, o, octave_factor))(pyr.dogs[o], cand)
+        if _upto == "refine":
+            probes.append(cand)
+            continue
 
         g = pyr.gauss[o]                                # (B, L1, H, W)
         L1, H, W = g.shape[-3:]
@@ -238,8 +265,16 @@ def extract_lowe_batched(imgs: jnp.ndarray, cfg: SiftConfig,
                 dxm.reshape(B * L1, H, W), dym.reshape(B * L1, H, W),
                 gl_f, flat(cand["y"]), flat(cand["x"]), radius=r_eff,
                 pallas=cfg.pallas)
+            if _upto == "windows":
+                probes.append((gxw, gyw))
+                continue
             peak_oris, peak_valid = orientation_from_windows(
                 gxw, gyw, oy0, ox0, sw_f, ib_f, cfg, MAX_ORI_PEAKS)
+        if _upto == "windows":
+            continue
+        if _upto == "orientation":
+            probes.append((peak_oris, peak_valid))
+            continue
 
         P = MAX_ORI_PEAKS
 
@@ -265,6 +300,8 @@ def extract_lowe_batched(imgs: jnp.ndarray, cfg: SiftConfig,
         for f in fields:
             buffers[f].append(dup[f])
 
+    if _upto is not None:
+        return probes
     kp = {f: jnp.concatenate(buffers[f], axis=1) for f in fields}
     desc = jnp.concatenate(descs, axis=1) if with_descriptors else None
 

@@ -700,41 +700,80 @@ class SfmPipeline:
             (ORB-SLAM-style): planar/low-parallax scenes make the essential
             matrix degenerate, so both models are fitted and the one with
             clearly dominant support wins. Branch-free: both paths compute,
-            `jnp.where` selects."""
+            `jnp.where` selects.
+
+            Knife-edge hardening (r5): a SINGLE RANSAC draw on
+            near-degenerate (plane-dominant) data can land in a wrong-basin
+            essential whose mirror map fails the downstream
+            triangulation-health gate — and ~1e-3 keypoint/descriptor
+            perturbations flipped which basin won (measured:
+            tools/diag_knife_edge.py, the r4 "loop-closure" e2e flip was
+            actually THIS gate at bootstrap frame 2). The fix is consensus
+            across `boot_attempts` independent keys with selection by
+            n_good — the health metric the acceptance gate itself uses —
+            rather than by raw epipolar inlier count. One dispatch, vmapped
+            attempts; bootstrap runs a handful of times per sequence, so
+            the extra compute is noise."""
             from sift_tpu.geometry.homography import (
                 ransac_homography, decompose_homography)
 
-            ke, kh = jax.random.split(key)
             na = jnp.stack([(pa[:, 0] - cx) / fx, (pa[:, 1] - cy) / fy], -1)
             nb = jnp.stack([(pb[:, 0] - cx) / fx, (pb[:, 1] - cy) / fy], -1)
 
-            Re, te, est_e = estimate_relative_pose(ke, na, nb, valid,
-                                                   cfg.ransac, focal=focal)
-            cfg_h = cfg.ransac.replace(
-                inlier_threshold=cfg.ransac.inlier_threshold / focal)
-            est_h = ransac_homography(kh, na, nb, valid, cfg_h)
-            Rh, th, _, _ = decompose_homography(
-                est_h.model, na, nb, est_h.inliers.astype(jnp.float32))
+            def recon(R, t, inliers):
+                """Triangulate and health-check one candidate motion."""
+                P1 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], 1)
+                P2 = jnp.concatenate([R, t[:, None]], 1)
+                X = triangulate_dlt(P1, P2, na, nb)   # world = camera A
+                za = X[:, 2]
+                zb = (X @ R.T + t)[:, 2]
+                good = inliers & (za > 1e-3) & (zb > 1e-3)
+                # Reprojection sanity in pixels (view A).
+                ra = (X[:, :2] / jnp.maximum(za[:, None], 1e-6) - na)
+                err_px = jnp.linalg.norm(ra, axis=-1) * focal
+                good &= err_px < cfg.max_reproj_error_px
+                return X, good
 
-            use_h = est_h.num_inliers.astype(jnp.float32) > \
-                1.2 * est_e.num_inliers.astype(jnp.float32)
-            R = jnp.where(use_h, Rh, Re)
-            t = jnp.where(use_h, th, te)
-            inliers = jnp.where(use_h, est_h.inliers, est_e.inliers)
-            n_inl = jnp.where(use_h, est_h.num_inliers, est_e.num_inliers)
-            success = jnp.where(use_h, est_h.success, est_e.success)
+            def attempt(k):
+                ke, kh = jax.random.split(k)
+                Re, te, est_e = estimate_relative_pose(
+                    ke, na, nb, valid, cfg.ransac, focal=focal)
+                cfg_h = cfg.ransac.replace(
+                    inlier_threshold=cfg.ransac.inlier_threshold / focal)
+                est_h = ransac_homography(kh, na, nb, valid, cfg_h)
+                Rh, th, _, _ = decompose_homography(
+                    est_h.model, na, nb, est_h.inliers.astype(jnp.float32))
 
-            P1 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], 1)
-            P2 = jnp.concatenate([R, t[:, None]], 1)
-            X = triangulate_dlt(P1, P2, na, nb)       # world = camera A
-            za = X[:, 2]
-            zb = (X @ R.T + t)[:, 2]
-            good = inliers & (za > 1e-3) & (zb > 1e-3)
-            # Reprojection sanity in pixels (view A).
-            ra = (X[:, :2] / jnp.maximum(za[:, None], 1e-6) - na)
-            err_px = jnp.linalg.norm(ra, axis=-1) * focal
-            good &= err_px < cfg.max_reproj_error_px
-            return R, t, X, good, n_inl, success
+                # Model selection by TRIANGULATION HEALTH, not raw epipolar
+                # support (r5 knife-edge fix, tools/diag_bootstrap.py): at
+                # ~2 px parallax the epipolar residual accepts nearly every
+                # match for a garbage essential (measured: E "won" 30 vs 26
+                # inliers while triangulating 0 healthy points in 4/4 key
+                # draws; H triangulated 26-27 in every draw). Health is the
+                # criterion the acceptance gate downstream applies — select
+                # by it, with a mild E preference since H can only explain
+                # one plane of a general scene.
+                Xe, good_e = recon(Re, te, est_e.inliers)
+                Xh, good_h = recon(Rh, th, est_h.inliers)
+                ng_e = jnp.sum(good_e & est_e.success)
+                ng_h = jnp.sum(good_h & est_h.success)
+                use_h = ng_h.astype(jnp.float32) > \
+                    1.1 * ng_e.astype(jnp.float32)
+
+                R = jnp.where(use_h, Rh, Re)
+                t = jnp.where(use_h, th, te)
+                X = jnp.where(use_h, Xh, Xe)
+                good = jnp.where(use_h, good_h, good_e)
+                n_inl = jnp.where(use_h, est_h.num_inliers,
+                                  est_e.num_inliers)
+                success = jnp.where(use_h, est_h.success, est_e.success)
+                return R, t, X, good, n_inl, success, use_h
+
+            keys = jax.random.split(key, cfg.boot_attempts)
+            outs = jax.vmap(attempt)(keys)
+            score = jnp.where(outs[5], outs[3].sum(axis=-1), -1)
+            best = jnp.argmax(score)
+            return jax.tree.map(lambda a: a[best], outs)
 
         @jax.jit
         def _localize(key, pose_init, lms, uv, valid):
@@ -1415,7 +1454,7 @@ class SfmPipeline:
             return dict(pose=pose0, tracked=True, is_keyframe=False,
                         n_inliers=n_matches, state=self.state)
 
-        R, t, X, good, n_inl, success = self._jit_bootstrap(
+        R, t, X, good, n_inl, success, use_h = self._jit_bootstrap(
             self._next_key(), jnp.asarray(pa, jnp.float32),
             jnp.asarray(pb, jnp.float32), jnp.asarray(valid))
         R, t, X, good = np.asarray(R), np.asarray(t), np.asarray(X), \
@@ -1429,6 +1468,17 @@ class SfmPipeline:
         if not bool(success) or n_good < max(
                 self.cfg.min_bootstrap_matches // 2, int(0.5 * int(n_inl))):
             return dict(pose=pose0, tracked=False, is_keyframe=False,
+                        n_inliers=int(n_inl), state=self.state)
+        # A homography-selected bootstrap needs EXTRA parallax (r5
+        # knife-edge fix): at ~gate-level flow H ~ I and the Faugeras
+        # decomposition is numerically meaningless — yet its inliers and
+        # triangulation health look fine, because low parallax cannot
+        # invalidate ANY motion model (points re-fit both views). Deferring
+        # costs nothing: the pending frames' poses are backfilled below
+        # once the bootstrap lands.
+        if bool(use_h) and float(np.median(flow[valid])) < \
+                self.cfg.h_parallax_factor * self.cfg.min_bootstrap_parallax:
+            return dict(pose=pose0, tracked=True, is_keyframe=False,
                         n_inliers=int(n_inl), state=self.state)
         # World = first camera; second pose world-from-camera = (R^T, -R^T t).
         pose1 = _se3_log_np(R.T, -R.T @ t)
@@ -1451,6 +1501,24 @@ class SfmPipeline:
         self._run_window_ba(fix_first_n=2)
         self.state = "tracking"
         self._frames_since_kf = 0
+        # Backfill bootstrap-pending frames (r5): frames between kf0 and
+        # here recorded placeholder identity poses while waiting for
+        # parallax/health — interpolate them along the accepted two-view
+        # motion (exact for constant-velocity segments, and strictly
+        # better than identity for any motion). This removes the cliff
+        # where one deferred frame poisons unmasked trajectory metrics.
+        pose_new = self.keyframes[-1].pose
+        r0, f1_ = kf0.frame_idx, self._frame_idx
+        if f1_ - r0 > 1:
+            rel = self._rel_pose(kf0.pose, pose_new)
+            for rec in self.trajectory:
+                fi = rec.get("frame_idx", -1)
+                if r0 < fi < f1_:
+                    frac = (fi - r0) / (f1_ - r0)
+                    rec["pose"] = lie_np.boxplus(
+                        kf0.pose, (frac * rel).astype(np.float32)
+                    ).astype(np.float32)
+                    rec["backfilled"] = True
         if self.logger is not None:
             self.logger.log("bootstrap", n_landmarks=len(self.landmarks),
                             n_inliers=int(n_inl))

@@ -71,7 +71,7 @@ def _cfg():
         ransac=RansacConfig(num_hypotheses=256, inlier_threshold=1.5,
                             min_inliers=15),
         ba=BAConfig(max_iterations=8, cg_iterations=30),
-        window_size=4, ba_max_landmarks=1024, ba_max_observations=4096,
+        window_size=8, ba_max_landmarks=1024, ba_max_observations=4096,
         min_bootstrap_parallax=2.0, min_bootstrap_matches=25,
         kf_min_tracked=60, kf_max_interval=3,
         min_triangulation_angle_deg=0.1,
