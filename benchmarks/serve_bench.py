@@ -71,17 +71,57 @@ def main():
     imgs = make_imgs(N_REQ)
     run_load(svc, imgs[:8], 8)           # warm the batched program
 
+    def pct(xs):
+        if not xs:
+            return None
+        a = np.asarray(xs) * 1e3
+        return dict(p50=round(float(np.percentile(a, 50)), 1),
+                    p99=round(float(np.percentile(a, 99)), 1))
+
     for conc in (1, 8, 32):
         svc.dispatch_stats.update(extract_requests=0, extract_dispatches=0)
+        for k in svc.phase_stats:
+            svc.phase_stats[k].clear()
         r = run_load(svc, imgs, conc)
         st = dict(svc.dispatch_stats)
         reqs = max(st.get("extract_requests", 0), 1)
         disp = st.get("extract_dispatches", 0)
+        # Per-DISPATCH phase decomposition (VERDICT r5 #8): upload is the
+        # blocked host->device transfer of the canvas batch, read is
+        # device execution + D2H of the packed results; a request's
+        # latency = queue/window wait + its dispatch's phases.
+        phases = {k: pct(v) for k, v in svc.phase_stats.items()
+                  if k.endswith("_s") and v}
+        bsz = svc.phase_stats["batch_size"]
         print(json.dumps(dict(
             metric=f"serve_c{conc}_p50_ms", value=r["p50_ms"], unit="ms",
             detail=(f"p99={r['p99_ms']}ms {r['req_per_s']} req/s, "
                     f"{disp} dispatches / {reqs} requests "
-                    f"({disp / reqs:.2f} per request)"))), flush=True)
+                    f"({disp / reqs:.2f} per request)"),
+            phases_ms=phases,
+            mean_batch=round(float(np.mean(bsz)), 1) if bsz else None,
+        )), flush=True)
+
+    # Decode cost per request (HTTP front): PNG decode in the handler
+    # thread, already overlapped with the co-batching window for
+    # followers. Measured standalone here (the load above drives the
+    # embedded API, which has no decode).
+    import base64
+    import io
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(imgs[0].astype(np.uint8)).save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    from sift_tpu.serve import _decode_image
+    ts = []
+    for _ in range(32):
+        t0 = time.perf_counter()
+        _decode_image(b64)
+        ts.append(time.perf_counter() - t0)
+    print(json.dumps(dict(metric="serve_decode_ms", unit="ms",
+                          value=pct(ts)["p50"],
+                          detail=f"p99={pct(ts)['p99']}ms, "
+                          f"{H}x{W} PNG via PIL")), flush=True)
     return 0
 
 

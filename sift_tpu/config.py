@@ -325,6 +325,10 @@ class PipelineConfig:
     # landmark rows (loop-closure fusion orphans) and compact the id
     # space (SfmPipeline.compact_landmarks). 0 = manual only.
     compact_interval_kf: int = 0
+    # Capacity audit: read extraction n_dropped per chunk into
+    # chunk_stats["extract_dropped"]. One extra device->host read per
+    # chunk (~30 ms on tunneled backends) — benches/tests only.
+    track_saturation: bool = False
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

@@ -133,6 +133,13 @@ class FeatureService:
                          if batch_window_ms > 0 else None)
         self.dispatch_stats = {"extract_dispatches": 0,
                                "extract_requests": 0}
+        # Per-dispatch phase decomposition (r5, VERDICT #8): upload is
+        # measured by blocking on the device_put (forced anyway before
+        # the program can run), read by blocking on the output fetch.
+        # Lists of seconds; serve_bench aggregates percentiles.
+        self.phase_stats: Dict[str, List[float]] = {
+            "decode_s": [], "upload_s": [], "dispatch_s": [],
+            "read_s": [], "batch_size": []}
 
     # ------------------------------------------------------------- helpers
     def _fit(self, img: np.ndarray) -> Tuple[np.ndarray, float, float]:
@@ -295,18 +302,31 @@ class _RequestBatcher:
                     ev.set()
 
     def _dispatch(self, batch):
+        import time as _time
+        import jax as _jax
         svc = self.service
         canvases = [c for c, _, _ in batch]
         pad = self.max_batch - len(canvases)
         imgs = np.stack(canvases + [canvases[0]] * pad)
+        ph = svc.phase_stats
         with svc._lock:
             svc.dispatch_stats["extract_dispatches"] += 1
-            packed_d, desc_d = svc._extract_batch(svc._jnp.asarray(imgs))
+            t0 = _time.perf_counter()
+            imgs_d = svc._jnp.asarray(imgs)
+            _jax.block_until_ready(imgs_d)      # upload phase, isolated
+            t1 = _time.perf_counter()
+            packed_d, desc_d = svc._extract_batch(imgs_d)
+            t2 = _time.perf_counter()           # dispatch submission
         # TWO bulk reads for the whole batch, then numpy slices per
         # request (eager per-slot device slicing costs a round trip per
         # field per request on tunneled backends).
         packed = np.asarray(packed_d)
         desc = np.asarray(desc_d)
+        t3 = _time.perf_counter()               # device exec + D2H read
+        ph["upload_s"].append(t1 - t0)
+        ph["dispatch_s"].append(t2 - t1)
+        ph["read_s"].append(t3 - t2)
+        ph["batch_size"].append(len(batch))
         for i, (_, ev, box) in enumerate(batch):
             box["kp"] = (packed[i], desc[i])
             ev.set()
@@ -358,7 +378,15 @@ def make_handler(service: FeatureService):
                 n = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(n) or b"{}")
                 if self.path == "/extract":
-                    kp = service.extract(_decode_image(req["image"]))
+                    import time as _time
+                    td = _time.perf_counter()
+                    img = _decode_image(req["image"])
+                    # Decode runs in the HANDLER thread, before submit —
+                    # with co-batching, follower decodes overlap the
+                    # leader's batch window (decode is already hidden).
+                    service.phase_stats["decode_s"].append(
+                        _time.perf_counter() - td)
+                    kp = service.extract(img)
                     valid = kp.pop("valid")
                     out = {k: v[valid] for k, v in kp.items()}
                     self._reply(200, {"n": int(valid.sum()),

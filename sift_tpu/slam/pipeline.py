@@ -238,10 +238,25 @@ class SfmPipeline:
         if self.mesh is not None:
             from sift_tpu.dist.frontend_dist import extract_batch_sharded
             mesh = self.mesh
+            # Multi-process meshes must replicate keypoint outputs: the
+            # host tracking logic reads buffers that would otherwise span
+            # non-addressable (remote-process) devices.
+            repl = jax.process_count() > 1
 
             def _extract_batch_mesh(imgs):
-                return extract_batch_sharded(mesh, imgs, cfg.sift,
-                                             with_descriptors=True)
+                kp = extract_batch_sharded(mesh, imgs, cfg.sift,
+                                           with_descriptors=True,
+                                           replicate=repl)
+                if repl:
+                    # Re-anchor the (replicated) outputs as PROCESS-LOCAL
+                    # arrays: downstream tracking dispatches then compile
+                    # to local programs executed identically on every
+                    # process (replicated host logic — the multi-host SLAM
+                    # architecture), instead of cross-process collectives
+                    # whose submission order would couple the processes.
+                    kp = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)),
+                                      kp)
+                return kp
 
             self._jit_extract_batch = _extract_batch_mesh
         else:
@@ -1245,6 +1260,14 @@ class SfmPipeline:
         meta0 = pay0 + P * (8 * M + 8)
         self.chunk_stats["chunks"] += 1
         self._chunk_seq += 1       # ages pending BA entries (see _flush_ba)
+        if cfg.track_saturation:
+            # Extraction capacity audit (opt-in: one extra device->host
+            # read per chunk — ~30 ms on tunneled backends, so never on
+            # by default). Nonzero means fixed-capacity keypoint buffers
+            # silently truncated the detection set.
+            self.chunk_stats["extract_dropped"] = (
+                self.chunk_stats.get("extract_dropped", 0)
+                + int(np.asarray(kp_batch.n_dropped).sum()))
 
         promote_of = {int(pa): pi for pi, pa in enumerate(promote_ats)
                       if pa >= 0}

@@ -59,8 +59,14 @@ def test_boundary_corners():
 
 
 def test_frontend_pallas_flag_equivalence():
-    """extract() with pallas="on" (interpreter off-TPU) must equal
-    pallas="off" exactly — the kernel is a drop-in for the XLA gather."""
+    """extract() with pallas="on" (interpreter off-TPU) vs pallas="off":
+    keypoint selection and orientations must be exact — the window-fetch
+    kernel is a bit-exact drop-in for the XLA gather. Descriptors agree to
+    bf16 tolerance only, BY DESIGN since r5: the flag also selects the
+    VMEM-resident descriptor kernel, which accumulates in f32 where the
+    XLA einsum rounds its operands to bf16 (the kernel is the MORE
+    accurate path — tests/unit/test_pallas_descriptor.py pins both the
+    tolerance and the accuracy ordering against a float64 oracle)."""
     from sift_tpu.config import SiftConfig
     from sift_tpu.frontend.sift import extract
     import scipy.ndimage as ndi
@@ -75,6 +81,6 @@ def test_frontend_pallas_flag_equivalence():
                                   np.asarray(kp_on.valid))
     v = np.asarray(kp_off.valid)
     np.testing.assert_allclose(np.asarray(kp_off.desc)[v],
-                               np.asarray(kp_on.desc)[v], atol=1e-6)
+                               np.asarray(kp_on.desc)[v], atol=6e-3)
     np.testing.assert_array_equal(np.asarray(kp_off.orientation)[v],
                                   np.asarray(kp_on.orientation)[v])
