@@ -101,6 +101,16 @@ def main():
     emit(metric="ba_single_device_s", value=round(t1, 3), cams=n_cams,
          obs=int(n_obs))
 
+    # Sharded FORMULATION at mesh=1: isolates shard_map/segment-padding
+    # overhead from collectives and core contention. The ratio to the
+    # unsharded solve is the fixed cost real hardware also pays.
+    mesh1 = make_mesh(MeshConfig(data=1, model=1))
+    t1s = _wall(lambda: run_ba_sharded(
+        mesh1, *[np.asarray(x) for x in args], cfg=cfg,
+        fixed_cam_mask=fixed))
+    emit(metric="ba_sharded_mesh1_s", value=round(t1s, 3),
+         formulation_overhead=round(t1s / t1, 2))
+
     for n in (2, 4, 8):
         if n > ndev:
             continue
@@ -121,11 +131,18 @@ def main():
             * cfg.max_iterations
         t_comm = coll_bytes / ICI_GBS * 2 * np.log2(max(n, 2))
         over = tn / t1
-        pred_eff = 1.0 / (max(over, 1.0) * (1.0 + t_comm / (t1 / n)))
+        # Real-hardware prediction: each chip owns its cores, so the
+        # N-way run costs ~t_sharded(1)/N + comm; efficiency is quoted
+        # against the BEST single-device solve (the unsharded program),
+        # i.e. it already charges the sharded-formulation overhead.
+        t_pred = t1s / n + t_comm
+        pred_eff = t1 / (n * t_pred)
         emit(metric="ba_scaling", devices=n, wall_s=round(tn, 3),
              overhead_factor=round(over, 3),
              coll_mb_per_solve=round(coll_bytes / 1e6, 3),
-             predicted_real_hw_efficiency=round(pred_eff, 3))
+             predicted_real_hw_time_s=round(t_pred, 3),
+             predicted_real_hw_efficiency_vs_best_single=round(pred_eff,
+                                                              3))
 
     # ---------------- row-sharded matcher ----------------
     rngm = np.random.default_rng(1)
@@ -152,10 +169,13 @@ def main():
         coll_bytes = 3 * Na * 4
         t_comm = coll_bytes / ICI_GBS * (n - 1) / n * 2
         over = tmn / tm1
-        pred_eff = 1.0 / (max(over, 1.0) * (1.0 + t_comm / (tm1 / n)))
+        t_pred = tm1 / n + t_comm       # tm1 IS the sharded formulation
+        pred_eff = tm1 / (n * t_pred)
         emit(metric="match_scaling", devices=n, wall_s=round(tmn, 3),
              overhead_factor=round(over, 3),
-             predicted_real_hw_efficiency=round(pred_eff, 3))
+             predicted_real_hw_time_s=round(t_pred, 3),
+             predicted_real_hw_efficiency_vs_best_single=round(pred_eff,
+                                                              3))
 
     emit(metric="conclusion",
          note=("overhead_factor ~1.0 at fixed core budget means the "

@@ -64,6 +64,20 @@ def run_ba_sharded(mesh: Mesh,
     obs_uv = pad_to_multiple(np.asarray(obs_uv), n_data)
     obs_valid = pad_to_multiple(np.asarray(obs_valid), n_data)
 
+    step = _sharded_step(mesh, cfg, data_axis, model_axis, v_mode)
+    return step(poses, intrinsics, landmarks,
+                obs_cam, obs_lm, obs_uv, obs_valid, fixed_cam_mask)
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_step(mesh: Mesh, cfg: BAConfig, data_axis: str,
+                  model_axis: Optional[str], v_mode: str):
+    """Compiled sharded LM step, cached per (mesh, cfg, axes, v_mode).
+
+    A fresh `jax.jit(step)` per call re-traced the WHOLE optimizer on
+    every invocation — measured 2.7x on the map-scale solve even with a
+    warm XLA compilation cache (r5 scaling report; tracing + cache lookup
+    dominate). Same pattern as the other dist modules."""
     obs_spec = P(data_axis)
     rep = P()
 
@@ -76,5 +90,4 @@ def run_ba_sharded(mesh: Mesh,
                       axis_name=data_axis, landmark_axis=model_axis,
                       v_mode=v_mode)
 
-    return jax.jit(step)(poses, intrinsics, landmarks,
-                         obs_cam, obs_lm, obs_uv, obs_valid, fixed_cam_mask)
+    return jax.jit(step)
