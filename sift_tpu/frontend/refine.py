@@ -196,35 +196,77 @@ def refine_octave_lowe(dogs: jnp.ndarray, cand: dict, cfg: SiftConfig,
     Dp = patch.shape[-1]
     flat_patch = patch.reshape(K, patch.shape[1], Dp * Dp)
 
-    def body(state):
-        lx, ly, li, converged = state
-        _, grad, hess = _local_lookup(flat_patch, Dp, li, ly, lx)
+    from sift_tpu.frontend.windows import _use_pallas
+    # NOTE: gated to explicit pallas="on" until the Mosaic-compiled kernel
+    # is validated on hardware (the tunnel was down when this landed);
+    # flip to _use_pallas(cfg.pallas, PATCH_R) after the TPU check.
+    use_kernel = (L == 3 and Dp == PATCH_D and H >= PATCH_D
+                  and W >= PATCH_D and cfg.pallas == "on"
+                  and _use_pallas(cfg.pallas, PATCH_R))
+    if use_kernel:
+        # VMEM-resident walk (kernels/pallas/refine.py): the six one-hot
+        # lookup passes above ran 28.8x over the stage's bytes floor in
+        # HBM (r5 roofline); the kernel keeps each patch on-chip for the
+        # whole walk and returns only the final 27-value cube + state.
+        # Same IEEE op sequence -> bit-identical to the XLA walk
+        # (tests/unit/test_pallas_refine.py). L == 3 pins the interior
+        # DoG level, so the scale axis never moves (matching the clip
+        # below); other L take the XLA path.
+        from sift_tpu.kernels.pallas.refine import refine_walk_pallas
+        interp = jax.devices()[0].platform != "tpu"
+        Kp = -(-K // 128) * 128
+        padk = lambda a: jnp.pad(a, ((0, Kp - K),) + ((0, 0),) *
+                                 (a.ndim - 1))
+        patchT = padk(flat_patch.reshape(K, L * Dp * Dp)).T
+        f32 = jnp.float32
+        scal = jnp.stack([
+            (xi0 - x0).astype(f32), (yi0 - y0).astype(f32),
+            (1 - x0).astype(f32), ((W - 2) - x0).astype(f32),
+            (1 - y0).astype(f32), ((H - 2) - y0).astype(f32),
+            jnp.zeros((K,), f32), jnp.zeros((K,), f32)])
+        outk = refine_walk_pallas(patchT, padk(scal.T).T, interp)
+        cube = outk[:27, :K].T.reshape(K, 3, 3, 3)
+        lx = outk[27, :K].astype(jnp.int32)
+        ly = outk[28, :K].astype(jnp.int32)
+        converged = outk[29, :K] > 0.5
+        li = jnp.clip(li0, 1, L - 2)
+        xi = x0 + lx
+        yi = y0 + ly
+        grad, hess = scale_space_gradient_hessian(cube)
+        d_center = cube[:, 1, 1, 1]
         off, solvable = solve3x3(hess, -grad)
-        off = jnp.where(solvable[:, None], off, 0.0)
-        small = jnp.all(jnp.abs(off) < 0.5, axis=-1)
-        newly = jnp.logical_not(converged)
-        step = jnp.where(newly[:, None] & jnp.logical_not(small)[:, None],
-                         jnp.clip(jnp.round(off), -1, 1).astype(jnp.int32),
-                         0)
-        # clip in IMAGE coordinates (interior), expressed patch-locally
-        lx = jnp.clip(lx + step[:, 0], 1 - x0, (W - 2) - x0)
-        ly = jnp.clip(ly + step[:, 1], 1 - y0, (H - 2) - y0)
-        li = jnp.clip(li + step[:, 2], 1, L - 2)
-        converged = converged | small
-        return lx, ly, li, converged
+    else:
+        def body(state):
+            lx, ly, li, converged = state
+            _, grad, hess = _local_lookup(flat_patch, Dp, li, ly, lx)
+            off, solvable = solve3x3(hess, -grad)
+            off = jnp.where(solvable[:, None], off, 0.0)
+            small = jnp.all(jnp.abs(off) < 0.5, axis=-1)
+            newly = jnp.logical_not(converged)
+            step = jnp.where(
+                newly[:, None] & jnp.logical_not(small)[:, None],
+                jnp.clip(jnp.round(off), -1, 1).astype(jnp.int32),
+                0)
+            # clip in IMAGE coordinates (interior), expressed patch-locally
+            lx = jnp.clip(lx + step[:, 0], 1 - x0, (W - 2) - x0)
+            ly = jnp.clip(ly + step[:, 1], 1 - y0, (H - 2) - y0)
+            li = jnp.clip(li + step[:, 2], 1, L - 2)
+            converged = converged | small
+            return lx, ly, li, converged
 
-    # Unrolled (5 fixed trips): the rolled while-loop serialized five tiny
-    # dependent programs; unrolling lets XLA fuse/pipeline across trips.
-    state = (xi0 - x0, yi0 - y0, li0, jnp.zeros((K,), bool))
-    for _ in range(5):
-        state = body(state)
-    lx, ly, li, converged = state
-    xi = x0 + lx
-    yi = y0 + ly
+        # Unrolled (5 fixed trips): the rolled while-loop serialized five
+        # tiny dependent programs; unrolling lets XLA fuse/pipeline
+        # across trips.
+        state = (xi0 - x0, yi0 - y0, li0, jnp.zeros((K,), bool))
+        for _ in range(5):
+            state = body(state)
+        lx, ly, li, converged = state
+        xi = x0 + lx
+        yi = y0 + ly
 
-    # Final quantities at the converged location.
-    d_center, grad, hess = _local_lookup(flat_patch, Dp, li, ly, lx)
-    off, solvable = solve3x3(hess, -grad)
+        # Final quantities at the converged location.
+        d_center, grad, hess = _local_lookup(flat_patch, Dp, li, ly, lx)
+        off, solvable = solve3x3(hess, -grad)
 
     d_hat = d_center + 0.5 * jnp.einsum("ki,ki->k", grad, off)
     contrast_ok = jnp.abs(d_hat) >= cfg.contrast_threshold * cfg.image_max
