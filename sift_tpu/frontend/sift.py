@@ -51,6 +51,14 @@ def _gradient_xy(g: jnp.ndarray):
 
 def extract_lowe(img: jnp.ndarray, cfg: SiftConfig,
                  with_descriptors: bool = True) -> Keypoints:
+    """Per-image lowe extraction — the SEMANTIC ORACLE (r5).
+
+    Production single-image extraction routes through
+    `extract_lowe_batched` at B=1 (`extract()`); this unbatched program
+    exists so equivalence tests can compare the batched implementation
+    against an independent formulation of the same math
+    (tests/unit/test_frontend_batched.py).
+    """
     pyr = build_pyramid(img, cfg)
     octave_factor = cfg.k ** (cfg.dogs_per_epoch - 1)
 
