@@ -207,23 +207,33 @@ def main():
         t = chained_time(fn_or, tuple(win_args))
         add("orientation", t)
 
-    def fn_de(w0, *rest):
-        ws = (w0,) + rest
-        s = jnp.float32(0)
-        for o in range(len(wins)):
-            gx, gy, oy0, ox0, sw = [ws[o * 5 + i] for i in range(5)]
-            for p in range(MAX_ORI_PEAKS):
-                out = jax.vmap(
-                    lambda a, b, c, d, e: descriptors_from_windows(
-                        a, b, c, d,
-                        jnp.zeros(a.shape[0], jnp.float32) + 37.0 * p,
-                        e, cfg))(gx, gy, oy0, ox0, sw)
+    def fn_de(mode):
+        from sift_tpu.frontend.windows import descriptors_from_windows_multi
+
+        def run(w0, *rest):
+            ws = (w0,) + rest
+            s = jnp.float32(0)
+            for o in range(len(wins)):
+                gx, gy, oy0, ox0, sw = [ws[o * 5 + i] for i in range(5)]
+                B, K = gx.shape[:2]
+                flat = lambda a: a.reshape((B * K,) + a.shape[2:])
+                oris = (jnp.arange(B * K * MAX_ORI_PEAKS, dtype=jnp.float32)
+                        .reshape(B * K, MAX_ORI_PEAKS) % 360.0)
+                out = descriptors_from_windows_multi(
+                    flat(gx), flat(gy), flat(oy0), flat(ox0), oris,
+                    flat(sw), cfg, pallas=mode)
                 s += tree_scalar(out)
-        return s
+            return s
+
+        return run
 
     if want("descriptors"):
-        t = chained_time(fn_de, tuple(win_args))
-        add("descriptors", t, f"{MAX_ORI_PEAKS} peaks")
+        # Shipped path (pallas auto -> kernel on TPU) and the XLA
+        # fallback, both on the flattened shapes the pipeline uses.
+        t = chained_time(fn_de("auto"), tuple(win_args))
+        add("descriptors", t, f"{MAX_ORI_PEAKS} peaks, pallas=auto")
+        t = chained_time(fn_de("off"), tuple(win_args))
+        add("descriptors_xla", t, f"{MAX_ORI_PEAKS} peaks, pallas=off")
 
     # Global compaction: top-K over the concatenated per-octave buffers +
     # the field/descriptor gathers (the "unaccounted" tail of the r3
