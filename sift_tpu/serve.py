@@ -370,6 +370,24 @@ def make_handler(service: FeatureService):
             if self.path == "/healthz":
                 self._reply(200, {"status": "ok",
                                   "shape": [service.h, service.w]})
+            elif self.path == "/stats":
+                # Observability: request/dispatch counters + per-phase
+                # latency percentiles (decode/upload/dispatch/read).
+                def pct(xs):
+                    if not xs:
+                        return None
+                    a = np.percentile(np.asarray(xs) * 1e3, [50, 99])
+                    return {"p50_ms": round(float(a[0]), 2),
+                            "p99_ms": round(float(a[1]), 2),
+                            "n": len(xs)}
+                phases = {k: pct(v) for k, v in
+                          service.phase_stats.items() if k.endswith("_s")}
+                bsz = service.phase_stats.get("batch_size", [])
+                self._reply(200, {
+                    "dispatch_stats": dict(service.dispatch_stats),
+                    "phases": phases,
+                    "mean_batch": (round(float(np.mean(bsz)), 2)
+                                   if bsz else None)})
             else:
                 self._reply(404, {"error": "unknown path"})
 

@@ -109,6 +109,13 @@ def test_http_front(service, img):
             assert False, "expected HTTPError"
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+        # Observability endpoint: counters + per-phase percentiles.
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stats", timeout=30) as r:
+            st = json.loads(r.read())
+        assert st["dispatch_stats"]["extract_requests"] >= 1
+        assert st["phases"]["decode_s"]["n"] >= 1
     finally:
         srv.shutdown()
 
