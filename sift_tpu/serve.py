@@ -136,10 +136,12 @@ class FeatureService:
         # Per-dispatch phase decomposition (r5, VERDICT #8): upload is
         # measured by blocking on the device_put (forced anyway before
         # the program can run), read by blocking on the output fetch.
-        # Lists of seconds; serve_bench aggregates percentiles.
-        self.phase_stats: Dict[str, List[float]] = {
-            "decode_s": [], "upload_s": [], "dispatch_s": [],
-            "read_s": [], "batch_size": []}
+        # Bounded deques of seconds (a long-running service must not grow
+        # them unboundedly); serve_bench aggregates percentiles.
+        from collections import deque
+        self.phase_stats: Dict[str, "deque"] = {
+            k: deque(maxlen=4096) for k in
+            ("decode_s", "upload_s", "dispatch_s", "read_s", "batch_size")}
 
     # ------------------------------------------------------------- helpers
     def _fit(self, img: np.ndarray) -> Tuple[np.ndarray, float, float]:
