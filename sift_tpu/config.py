@@ -65,12 +65,20 @@ class SiftConfig:
     # force the choice ("on" off-TPU runs the slow Pallas interpreter —
     # test-only).
     pallas: str = "auto"
+    # Gradient-map precision for the per-keypoint window FETCH (the stage
+    # measured at 62% of HBM peak, r5 roofline): "bfloat16" halves its
+    # bytes. Only the fetch is low-precision — orientation/descriptor
+    # math converts back to f32 — and the quality impact is measured nil
+    # (tools/diag_bf16_windows.py: 0 keypoint flips, desc delta ~7e-5
+    # mean, e2e ATE identical). Default f32 until the TPU A/B lands.
+    window_dtype: str = "float32"
 
     def __post_init__(self):
         assert self.octaves > 0, "octaves must be positive (ref sift.cpp:382)"
         assert self.dogs_per_epoch >= 3, "dogsPerEpoch >= 3 (ref sift.cpp:383)"
         assert self.mode in ("lowe", "parity")
         assert self.pallas in ("auto", "on", "off")
+        assert self.window_dtype in ("float32", "bfloat16")
 
     @property
     def gaussians_per_octave(self) -> int:

@@ -105,7 +105,7 @@ def extract_lowe(img: jnp.ndarray, cfg: SiftConfig,
         else:
             gxw, gyw, oy0, ox0 = gather_gradient_windows(
                 dxm, dym, gl, cand["y"], cand["x"], radius=r_eff,
-                pallas=cfg.pallas)
+                pallas=cfg.pallas, dtype=cfg.window_dtype)
             peak_oris, peak_valid = orientation_from_windows(
                 gxw, gyw, oy0, ox0, sigma_within, in_bounds, cfg,
                 MAX_ORI_PEAKS)
@@ -272,7 +272,7 @@ def extract_lowe_batched(imgs: jnp.ndarray, cfg: SiftConfig,
             gxw, gyw, oy0, ox0 = gather_gradient_windows(
                 dxm.reshape(B * L1, H, W), dym.reshape(B * L1, H, W),
                 gl_f, flat(cand["y"]), flat(cand["x"]), radius=r_eff,
-                pallas=cfg.pallas)
+                pallas=cfg.pallas, dtype=cfg.window_dtype)
             if _upto == "windows":
                 probes.append((gxw, gyw))
                 continue

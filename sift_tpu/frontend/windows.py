@@ -62,19 +62,28 @@ def _use_pallas(mode: str, radius: int) -> bool:
 
 def gather_gradient_windows(dx_maps: jnp.ndarray, dy_maps: jnp.ndarray,
                             gl: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray,
-                            radius: int = R_DESC, pallas: str = "auto"):
+                            radius: int = R_DESC, pallas: str = "auto",
+                            dtype: str = "float32"):
     """One contiguous (2, 2r, 2r) slice per keypoint from stacked gradients.
 
     dx_maps/dy_maps: (L, H, W). gl: (K,) level; y, x: (K,) float positions.
     Returns (gx (K, 2r, 2r), gy (K, 2r, 2r), oy0, ox0) where (oy0, ox0) are
-    the float offsets of window pixel (0, 0) from the true keypoint centre.
+    the float offsets of window pixel (0, 0) from the true keypoint centre
+    (windows always come back float32).
 
     `pallas`: "auto" | "on" | "off" — the Pallas fetch kernel is bit-exact
     vs the XLA path (module docstring has the measured comparison).
+    `dtype`: "bfloat16" fetches through bf16 maps — halves the stage's HBM
+    bytes; the selection stays exact (the quantization happens ONCE at the
+    map cast, identically on both fetch paths). Requires 2r % 16 == 0
+    (bf16 sublane tiling); other radii silently stay f32.
     """
     L, H, W = dx_maps.shape
-    stacked = jnp.stack([dx_maps, dy_maps])            # (2, L, H, W)
     d = 2 * radius
+    if dtype == "bfloat16" and d % 16 == 0:
+        dx_maps = dx_maps.astype(jnp.bfloat16)
+        dy_maps = dy_maps.astype(jnp.bfloat16)
+    stacked = jnp.stack([dx_maps, dy_maps])            # (2, L, H, W)
     yi = jnp.clip(y.astype(jnp.int32), radius, max(H - radius, radius))
     xi = jnp.clip(x.astype(jnp.int32), radius, max(W - radius, radius))
     yi = jnp.minimum(yi, max(H - radius, radius))
@@ -99,7 +108,7 @@ def gather_gradient_windows(dx_maps: jnp.ndarray, dy_maps: jnp.ndarray,
         gy = wins[:, 1, 0]
     oy0 = yi.astype(jnp.float32) - radius - y          # offset of pixel (0,*)
     ox0 = xi.astype(jnp.float32) - radius - x
-    return gx, gy, oy0, ox0
+    return (gx.astype(jnp.float32), gy.astype(jnp.float32), oy0, ox0)
 
 
 def orientation_from_windows(gx, gy, oy0, ox0, sigma_within, in_bounds,

@@ -56,31 +56,39 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-SUBL = 8          # f32 sublane tiling
+SUBL = 8          # f32 sublane tiling ((16, 128) for bf16 — see _subl)
 GROUP = 8         # keypoints gathered per grid step (amortizes the fixed
                   # per-step cost; G band DMAs per step overlap the
                   # previous group's selection math via 2-slot buffering)
 WB = 2            # column tiles per band: spans any d <= 128 window
 
 
-def _window_kernel(d: int, use_roll: bool, gl_ref, y0_ref, x0_ref, maps_ref,
-                   out_ref, scratch, sems):
+def _subl(dtype) -> int:
+    """Sublane tile height for the map dtype (Mosaic tiling: f32 (8, 128),
+    bf16 (16, 128)). bf16 maps halve the band DMA and window-write bytes
+    (r5: the fetch stage measured 62% of HBM peak; quality impact of bf16
+    gradient maps measured nil — tools/diag_bf16_windows.py)."""
+    return 16 if jnp.dtype(dtype) == jnp.bfloat16 else 8
+
+
+def _window_kernel(d: int, use_roll: bool, subl: int, gl_ref, y0_ref,
+                   x0_ref, maps_ref, out_ref, scratch, sems):
     """Grid step k: gather GROUP keypoints' (C, d, d) windows.
 
-    maps_ref: (C, L, Wq, Hq, 8, LANES) in HBM; scratch: (2 slots, GROUP, C,
-    WB, B8, 8, LANES) VMEM; out_ref: (GROUP, C, d, LANES) VMEM block.
+    maps_ref: (C, L, Wq, Hq, subl, LANES) in HBM; scratch: (2 slots, GROUP,
+    C, WB, B8, subl, LANES) VMEM; out_ref: (GROUP, C, d, LANES) VMEM block.
     """
     k = pl.program_id(0)
     n = pl.num_programs(0)
     C = scratch.shape[2]
-    B8 = scratch.shape[4]                      # band height in 8-row tiles
-    B = B8 * SUBL
+    B8 = scratch.shape[4]                 # band height in subl-row tiles
+    B = B8 * subl
 
     def dma(slot, g, kk):
         return pltpu.make_async_copy(
             maps_ref.at[:, gl_ref[kk],
                         pl.ds(x0_ref[kk] // LANES, WB),
-                        pl.ds(y0_ref[kk] // SUBL, B8), :, :],
+                        pl.ds(y0_ref[kk] // subl, B8), :, :],
             scratch.at[slot, g],
             sems.at[slot, g],
         )
@@ -105,14 +113,15 @@ def _window_kernel(d: int, use_roll: bool, gl_ref, y0_ref, x0_ref, maps_ref,
     j_iota = lax.broadcasted_iota(jnp.int32, (d, B), 1)
     # Static per-keypoint loop (Mosaic has no multi-batch dot_general); the
     # fixed per-grid-step cost is amortized over GROUP keypoints.
+    dt = out_ref.dtype
     for g in range(GROUP):
         y0g = y0_ref[base + g]
         x0g = x0_ref[base + g]
-        y_off = y0g - (y0g // SUBL) * SUBL                   # [0, 8)
+        y_off = y0g - (y0g // subl) * subl                   # [0, subl)
         x_off = x0g - (x0g // LANES) * LANES                 # [0, 128)
-        rsel = (j_iota == y_off + i_iota).astype(jnp.float32)
+        rsel = (j_iota == y_off + i_iota).astype(dt)
         for m in range(C):
-            band = scratch[k % 2, g, m]                      # (WB, B8, 8, LANES)
+            band = scratch[k % 2, g, m]                # (WB, B8, subl, LANES)
             wide = jnp.concatenate([band[t].reshape(B, LANES)
                                     for t in range(WB)], axis=-1)
             if use_roll:
@@ -123,19 +132,22 @@ def _window_kernel(d: int, use_roll: bool, gl_ref, y0_ref, x0_ref, maps_ref,
                                                           WB * LANES), 0)
                 c_iota = lax.broadcasted_iota(jnp.int32, (WB * LANES,
                                                           WB * LANES), 1)
-                csel = (w_iota == x_off + c_iota).astype(jnp.float32)
+                csel = (w_iota == x_off + c_iota).astype(dt)
                 aligned = jnp.dot(wide, csel,
                                   preferred_element_type=jnp.float32,
-                                  precision=lax.Precision.HIGHEST)
+                                  precision=lax.Precision.HIGHEST).astype(dt)
+            # f32-accumulated one-hot: each output is exactly one product
+            # x * 1.0 — the cast back to `dt` is exact for bf16 inputs.
             out_ref[g, m] = jnp.dot(rsel, aligned[:, :LANES],
                                     preferred_element_type=jnp.float32,
-                                    precision=lax.Precision.HIGHEST)
+                                    precision=lax.Precision.HIGHEST
+                                    ).astype(dt)
 
 
-def _kernel_entry(d, use_roll, gl_ref, y0_ref, x0_ref, maps_ref, out_ref,
-                  scratch, sems):
+def _kernel_entry(d, use_roll, subl, gl_ref, y0_ref, x0_ref, maps_ref,
+                  out_ref, scratch, sems):
     # out_ref block is (1, GROUP, C, d, LANES); drop the leading group axis.
-    _window_kernel(d, use_roll, gl_ref, y0_ref, x0_ref, maps_ref,
+    _window_kernel(d, use_roll, subl, gl_ref, y0_ref, x0_ref, maps_ref,
                    out_ref.at[0], scratch, sems)
 
 
@@ -155,23 +167,24 @@ def gather_windows_pallas(maps: jnp.ndarray, gl: jnp.ndarray,
     `interpret=True` runs the Pallas interpreter (CPU tests).
     """
     d = 2 * radius
-    assert d % SUBL == 0, f"window size {d} must be a multiple of {SUBL}"
+    subl = _subl(maps.dtype)
+    assert d % subl == 0, f"window size {d} must be a multiple of {subl}"
     assert d <= LANES, f"window size {d} must be <= {LANES}"
     K = gl.shape[0]
     C, L, H, W = maps.shape
-    B8 = d // SUBL + 1                       # band covers any misalignment
+    B8 = d // subl + 1                       # band covers any misalignment
 
     # Re-lay the maps out so BOTH band offsets land on untiled dimensions:
     # pad H to at least B8 row tiles plus one spare (the band DMA starting
-    # at tile y0//8 never runs off the end), pad W to at least WB column
+    # at tile y0//subl never runs off the end), pad W to at least WB column
     # tiles plus one spare, then expose the tile indices:
-    # (C, L, Wq, Hq, 8, 128). Padded rows/columns are never selected by the
-    # caller's clamped coordinates.
-    Hq = max(-(-H // SUBL) + 1, B8)
+    # (C, L, Wq, Hq, subl, 128). Padded rows/columns are never selected by
+    # the caller's clamped coordinates.
+    Hq = max(-(-H // subl) + 1, B8)
     Wq = max(-(-W // LANES) + 1, WB)
-    mp = jnp.pad(maps, ((0, 0), (0, 0), (0, Hq * SUBL - H),
+    mp = jnp.pad(maps, ((0, 0), (0, 0), (0, Hq * subl - H),
                         (0, Wq * LANES - W)))
-    maps6 = mp.reshape(C, L, Hq, SUBL, Wq, LANES).transpose(0, 1, 4, 2, 3, 5)
+    maps6 = mp.reshape(C, L, Hq, subl, Wq, LANES).transpose(0, 1, 4, 2, 3, 5)
 
     # Pad the keypoint list to a GROUP multiple (coords (0,0,0) are always
     # in-bounds; padded outputs are sliced off below).
@@ -189,15 +202,15 @@ def gather_windows_pallas(maps: jnp.ndarray, gl: jnp.ndarray,
                                lambda k, *_: (k, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, GROUP, C, WB, B8, SUBL, LANES), jnp.float32),
+            pltpu.VMEM((2, GROUP, C, WB, B8, subl, LANES), maps.dtype),
             pltpu.SemaphoreType.DMA((2, GROUP)),
         ],
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel_entry, d, not interpret),
+        functools.partial(_kernel_entry, d, not interpret, subl),
         out_shape=jax.ShapeDtypeStruct((Kp // GROUP, GROUP, C, d, LANES),
-                                       jnp.float32),
+                                       maps.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )(gl, y0, x0, maps6)
