@@ -72,6 +72,11 @@ class SiftConfig:
     # (tools/diag_bf16_windows.py: 0 keypoint flips, desc delta ~7e-5
     # mean, e2e ATE identical). Default f32 until the TPU A/B lands.
     window_dtype: str = "float32"
+    # Candidate selection in the extrema stage (lowe only): "approx" uses
+    # lax.approx_max_k (TPU-optimized partial sort, recall ~0.99 —
+    # marginal tail candidates may differ; parity mode always exact).
+    # Default exact until the TPU A/B lands.
+    extrema_topk: str = "exact"
 
     def __post_init__(self):
         assert self.octaves > 0, "octaves must be positive (ref sift.cpp:382)"
@@ -79,6 +84,7 @@ class SiftConfig:
         assert self.mode in ("lowe", "parity")
         assert self.pallas in ("auto", "on", "off")
         assert self.window_dtype in ("float32", "bfloat16")
+        assert self.extrema_topk in ("exact", "approx")
 
     @property
     def gaussians_per_octave(self) -> int:

@@ -108,7 +108,15 @@ def detect_extrema_octave(dogs: jnp.ndarray, cfg: SiftConfig,
     score = jnp.stack(scores)
     flat_score = jnp.where(mask, score, -1.0).reshape(-1)
     k_eff = min(K, flat_score.shape[0])          # tiny top octaves
-    top_scores, top_idx = lax.top_k(flat_score, k_eff)
+    if not parity and cfg.extrema_topk == "approx":
+        # TPU-optimized partial sort; recall_target bounds how many true
+        # top-K candidates the tail may miss (weakest responses only —
+        # candidate ordering by |DoG| makes the miss set the least
+        # valuable ones). Parity mode stays exact (golden tests).
+        top_scores, top_idx = lax.approx_max_k(flat_score, k_eff,
+                                               recall_target=0.99)
+    else:
+        top_scores, top_idx = lax.top_k(flat_score, k_eff)
     if k_eff < K:
         top_scores = jnp.pad(top_scores, (0, K - k_eff), constant_values=-1.0)
         top_idx = jnp.pad(top_idx, (0, K - k_eff))
