@@ -61,6 +61,17 @@ def _add_reference_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--no-viz", action="store_true",
                    help="skip writing <img>_orientation.png")
     p.add_argument("--time", action="store_true", help="print wall-clock timings")
+    p.add_argument("--pallas", choices=("auto", "on", "off"), default="auto",
+                   help="Pallas TPU kernels for the hot stages (default "
+                        "auto: on for TPU backends)")
+    p.add_argument("--window-dtype", choices=("float32", "bfloat16"),
+                   default="float32",
+                   help="gradient-map precision for the window fetch "
+                        "(bfloat16 halves its HBM bytes; lowe mode only)")
+    p.add_argument("--extrema-topk", choices=("exact", "approx"),
+                   default="exact",
+                   help="candidate selection: approx uses the "
+                        "TPU-optimized approx_max_k (recall ~0.99)")
 
 
 def _sift_config(args):
@@ -71,6 +82,10 @@ def _sift_config(args):
         kw["max_keypoints_per_octave"] = args.max_keypoints_per_octave
     if getattr(args, "rootsift", False):
         kw["rootsift"] = True
+    for f in ("pallas", "window_dtype", "extrema_topk"):
+        v = getattr(args, f, None)
+        if v is not None:
+            kw[f] = v
     return SiftConfig(
         sigma=args.sigma, k=args.k, octaves=args.octaves,
         dogs_per_epoch=args.dogs_per_epoch, subpixel=bool(args.subpixel),
