@@ -14,7 +14,8 @@ Replaces the r2-era roofline table in BENCH.md. Methodology:
     carries its distance-to-floor.
 
 Run ON TPU:  python benchmarks/roofline_r5.py          (JSON lines)
-Env: ROOF_BATCH (default 16), ROOF_PALLAS (auto|on|off).
+Env: ROOF_BATCH (default 16), ROOF_PALLAS (auto|on|off),
+     ROOF_WDT (float32|bfloat16), ROOF_TOPK (exact|approx).
 """
 
 from __future__ import annotations
@@ -29,6 +30,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BATCH = int(os.environ.get("ROOF_BATCH", "16"))
 PALLAS = os.environ.get("ROOF_PALLAS", "auto")
+WDT = os.environ.get("ROOF_WDT", "float32")
+TOPK = os.environ.get("ROOF_TOPK", "exact")
 
 
 def main():
@@ -43,7 +46,8 @@ def main():
     from sift_tpu.utils.timing import chained_time, tree_scalar
     from sift_tpu.utils.roofline import compiled_costs, roofline
 
-    cfg = SiftConfig(mode="lowe", pallas=PALLAS)
+    cfg = SiftConfig(mode="lowe", pallas=PALLAS, window_dtype=WDT,
+                     extrema_topk=TOPK)
     imgs = jnp.asarray(make_frames(BATCH))
     B, H, W = imgs.shape
 

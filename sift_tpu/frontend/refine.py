@@ -197,11 +197,13 @@ def refine_octave_lowe(dogs: jnp.ndarray, cand: dict, cfg: SiftConfig,
     flat_patch = patch.reshape(K, patch.shape[1], Dp * Dp)
 
     from sift_tpu.frontend.windows import _use_pallas
-    # NOTE: gated to explicit pallas="on" until the Mosaic-compiled kernel
-    # is validated on hardware (the tunnel was down when this landed);
-    # flip to _use_pallas(cfg.pallas, PATCH_R) after the TPU check.
+    # Mosaic-compiled kernel validated bit-exact on v5e (r5, 3 seeds x
+    # 5 fields vs the XLA walk) -> enabled under pallas="auto" like the
+    # other kernels.
+    import os as _os
     use_kernel = (L == 3 and Dp == PATCH_D and H >= PATCH_D
-                  and W >= PATCH_D and cfg.pallas == "on"
+                  and W >= PATCH_D
+                  and _os.environ.get("SIFT_REFINE_KERNEL", "1") != "0"
                   and _use_pallas(cfg.pallas, PATCH_R))
     if use_kernel:
         # VMEM-resident walk (kernels/pallas/refine.py): the six one-hot

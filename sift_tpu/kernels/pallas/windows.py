@@ -114,16 +114,22 @@ def _window_kernel(d: int, use_roll: bool, subl: int, gl_ref, y0_ref,
     # Static per-keypoint loop (Mosaic has no multi-batch dot_general); the
     # fixed per-grid-step cost is amortized over GROUP keypoints.
     dt = out_ref.dtype
+    f32 = jnp.float32
     for g in range(GROUP):
         y0g = y0_ref[base + g]
         x0g = x0_ref[base + g]
         y_off = y0g - (y0g // subl) * subl                   # [0, subl)
         x_off = x0g - (x0g // LANES) * LANES                 # [0, 128)
-        rsel = (j_iota == y_off + i_iota).astype(dt)
+        rsel = (j_iota == y_off + i_iota).astype(f32)
         for m in range(C):
             band = scratch[k % 2, g, m]                # (WB, B8, subl, LANES)
+            # Selection math runs in f32 regardless of the map dtype:
+            # Mosaic's dynamic lane rotate is 32-bit only ("Rotate with
+            # non-32-bit data" — measured on v5e), and bf16->f32 is an
+            # exact upcast, so only the HBM band DMA (the bytes that
+            # matter) stays at the narrow dtype.
             wide = jnp.concatenate([band[t].reshape(B, LANES)
-                                    for t in range(WB)], axis=-1)
+                                    for t in range(WB)], axis=-1).astype(f32)
             if use_roll:
                 # lane roll left by x_off: aligned[:, j] = wide[:, j + x_off]
                 aligned = pltpu.roll(wide, WB * LANES - x_off, axis=1)
@@ -132,10 +138,10 @@ def _window_kernel(d: int, use_roll: bool, subl: int, gl_ref, y0_ref,
                                                           WB * LANES), 0)
                 c_iota = lax.broadcasted_iota(jnp.int32, (WB * LANES,
                                                           WB * LANES), 1)
-                csel = (w_iota == x_off + c_iota).astype(dt)
+                csel = (w_iota == x_off + c_iota).astype(f32)
                 aligned = jnp.dot(wide, csel,
                                   preferred_element_type=jnp.float32,
-                                  precision=lax.Precision.HIGHEST).astype(dt)
+                                  precision=lax.Precision.HIGHEST)
             # f32-accumulated one-hot: each output is exactly one product
             # x * 1.0 — the cast back to `dt` is exact for bf16 inputs.
             out_ref[g, m] = jnp.dot(rsel, aligned[:, :LANES],
