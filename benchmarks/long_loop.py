@@ -133,6 +133,10 @@ def main():
     cfg = pipe.cfg
     sat = dict(
         extract_dropped=int(pipe.chunk_stats.get("extract_dropped", 0)),
+        # strongest-N pre-refinement candidate pruning — quality-managed
+        # coverage control, reported but not an invariant violation
+        extract_cand_pruned=int(
+            pipe.chunk_stats.get("extract_cand_pruned", 0)),
         pg_nodes_used=len(pipe.keyframes),
         pg_nodes_cap=cfg.max_pose_graph_nodes,
         pg_edges_used=len(pipe.pose_edges),

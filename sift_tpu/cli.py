@@ -174,11 +174,16 @@ def cmd_extract(args) -> int:
     n = int(valid.sum())
     print(f"{n} interest points ({img_file}, mode={args.mode})")
     if kp.get("n_dropped") is not None and int(kp["n_dropped"]) > 0:
-        print(f"warning: {int(kp['n_dropped'])} candidate keypoints "
+        print(f"warning: {int(kp['n_dropped'])} keypoints "
               f"exceeded the static buffer capacities and were dropped "
               f"(weakest-response first). Raise --max-keypoints-per-octave/"
               f"--max-keypoints; parity-mode output is NOT "
               f"reference-faithful while this warning prints.",
+              file=sys.stderr)
+    if kp.get("n_cand_pruned") is not None and int(kp["n_cand_pruned"]) > 0:
+        print(f"note: {int(kp['n_cand_pruned'])} raw extrema candidates "
+              f"beyond the per-octave cap were pruned weakest-first before "
+              f"refinement (strongest-N selection, not silent loss).",
               file=sys.stderr)
     if args.time:
         print(f"extract wall time: {t1 - t0:.3f}s (includes compile on first call)")
@@ -219,6 +224,8 @@ def jax_to_host(kp):
     out["desc"] = np.asarray(kp.desc) if kp.desc is not None else None
     out["n_dropped"] = (np.asarray(kp.n_dropped)
                         if kp.n_dropped is not None else None)
+    out["n_cand_pruned"] = (np.asarray(kp.n_cand_pruned)
+                            if kp.n_cand_pruned is not None else None)
     return out
 
 

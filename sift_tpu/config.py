@@ -69,13 +69,18 @@ class SiftConfig:
     # measured at 62% of HBM peak, r5 roofline): "bfloat16" halves its
     # bytes. Only the fetch is low-precision — orientation/descriptor
     # math converts back to f32 — and the quality impact is measured nil
-    # (tools/diag_bf16_windows.py: 0 keypoint flips, desc delta ~7e-5
-    # mean, e2e ATE identical). Default f32 until the TPU A/B lands.
-    window_dtype: str = "float32"
+    # (tools/diag_bf16_windows.py on CPU: 0 keypoint flips, e2e ATE
+    # identical; on-v5e compiled kernel: 0/8192 valid flips, x/y/scale
+    # bit-identical, desc delta 2.7e-5 mean). Measured on v5e: full
+    # extract 32.4 -> 28.3 ms (-13%). Set "float32" to restore exact
+    # f32 window bytes (parity mode never uses this path).
+    window_dtype: str = "bfloat16"
     # Candidate selection in the extrema stage (lowe only): "approx" uses
     # lax.approx_max_k (TPU-optimized partial sort, recall ~0.99 —
     # marginal tail candidates may differ; parity mode always exact).
-    # Default exact until the TPU A/B lands.
+    # Default exact: the v5e A/B (benchmarks/extrema_bisect.py) measured
+    # only ~0.6 ms back on a ~33 ms program for a 1% candidate-recall
+    # cost — not worth the determinism risk as a default.
     extrema_topk: str = "exact"
 
     def __post_init__(self):

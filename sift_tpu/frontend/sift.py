@@ -68,10 +68,11 @@ def extract_lowe(img: jnp.ndarray, cfg: SiftConfig,
     descs = []
 
     dropped = jnp.asarray(0, jnp.int32)
+    cand_pruned = jnp.asarray(0, jnp.int32)
     for o in range(pyr.num_octaves):
         x, y, lvl, score, valid, n_drop = detect_extrema_octave(
             pyr.dogs[o], cfg, o)
-        dropped = dropped + n_drop
+        cand_pruned = cand_pruned + n_drop
         cand = dict(x=x, y=y, level=lvl, score=score, valid=valid)
         cand = refine_octave_lowe(pyr.dogs[o], cand, cfg, pyr.dog_sigmas,
                                   o, octave_factor)
@@ -147,8 +148,10 @@ def extract_lowe(img: jnp.ndarray, cfg: SiftConfig,
     top_scores, idx = lax.top_k(rank_score, min(N, rank_score.shape[0]))
     take = lambda a: a[idx]
     out_valid = take(kp["valid"]) & jnp.isfinite(top_scores)
-    # saturation: octave-stage truncation plus valid keypoints that did not
-    # survive the global top-K
+    # Saturation accounting (see types.Keypoints): n_dropped counts REFINED
+    # valid keypoints lost to the global top-K — real silent truncation;
+    # pre-refinement strongest-N candidate pruning is the separate
+    # n_cand_pruned (quality-managed, informational).
     dropped = dropped + jnp.maximum(
         jnp.sum(kp["valid"].astype(jnp.int32))
         - jnp.sum(out_valid.astype(jnp.int32)), 0)
@@ -159,6 +162,7 @@ def extract_lowe(img: jnp.ndarray, cfg: SiftConfig,
         valid=out_valid,
         desc=take(desc) if desc is not None else None,
         n_dropped=dropped,
+        n_cand_pruned=cand_pruned,
     )
     return out
 
@@ -224,6 +228,7 @@ def extract_lowe_batched(imgs: jnp.ndarray, cfg: SiftConfig,
     descs = []
 
     dropped = jnp.zeros((B,), jnp.int32)
+    cand_pruned = jnp.zeros((B,), jnp.int32)
     for o in range(pyr.num_octaves):
         def det(dogs):
             x, y, lvl, score, valid, n_drop = detect_extrema_octave(
@@ -232,7 +237,7 @@ def extract_lowe_batched(imgs: jnp.ndarray, cfg: SiftConfig,
                 n_drop
 
         cand, n_drop = jax.vmap(det)(pyr.dogs[o])      # fields (B, K)
-        dropped = dropped + n_drop
+        cand_pruned = cand_pruned + n_drop
         if _upto == "extrema":
             probes.append(cand)
             continue
@@ -318,6 +323,9 @@ def extract_lowe_batched(imgs: jnp.ndarray, cfg: SiftConfig,
     top_scores, idx = lax.top_k(rank_score, min(N, rank_score.shape[1]))
     take = lambda a: jnp.take_along_axis(a, idx, axis=1)
     out_valid = take(kp["valid"]) & jnp.isfinite(top_scores)
+    # n_dropped = refined valid keypoints lost to the global top-K (real
+    # silent truncation); n_cand_pruned = pre-refinement strongest-N
+    # candidate pruning (quality-managed) — see types.Keypoints.
     dropped = dropped + jnp.maximum(
         jnp.sum(kp["valid"].astype(jnp.int32), axis=1)
         - jnp.sum(out_valid.astype(jnp.int32), axis=1), 0)
@@ -329,6 +337,7 @@ def extract_lowe_batched(imgs: jnp.ndarray, cfg: SiftConfig,
         desc=(jnp.take_along_axis(desc, idx[..., None], axis=1)
               if desc is not None else None),
         n_dropped=dropped,
+        n_cand_pruned=cand_pruned,
     )
 
 

@@ -1268,6 +1268,12 @@ class SfmPipeline:
             self.chunk_stats["extract_dropped"] = (
                 self.chunk_stats.get("extract_dropped", 0)
                 + int(np.asarray(kp_batch.n_dropped).sum()))
+            if kp_batch.n_cand_pruned is not None:
+                # Informational: strongest-N pre-refinement pruning (see
+                # types.Keypoints) — not silent loss, so not asserted on.
+                self.chunk_stats["extract_cand_pruned"] = (
+                    self.chunk_stats.get("extract_cand_pruned", 0)
+                    + int(np.asarray(kp_batch.n_cand_pruned).sum()))
 
         promote_of = {int(pa): pi for pi, pa in enumerate(promote_ats)
                       if pa >= 0}

@@ -36,11 +36,19 @@ class Keypoints:
       orientation: float32 degrees in [0, 360).
       valid:       bool mask.
       desc:        optional (N, 128) float32 descriptors.
-      n_dropped:   optional scalar int32 — candidates that did not fit in a
-                   fixed-capacity stage (per-octave detection buffers or the
-                   global compaction). Nonzero means the output silently
+      n_dropped:   optional scalar int32 — REFINED, valid keypoints that did
+                   not fit a fixed-capacity stage (the global top-K
+                   compaction; in parity mode also the per-octave candidate
+                   buffers, since parity must reproduce the reference's
+                   unbounded keypoint set). Nonzero means the output silently
                    truncates the true keypoint set: parity comparisons are
-                   invalid and the CLI warns.
+                   invalid, capacity audits fail, and the CLI warns.
+      n_cand_pruned: optional scalar int32 (lowe mode) — raw extrema
+                   CANDIDATES beyond the per-octave cap, pruned
+                   weakest-|DoG|-first before refinement. This is
+                   quality-managed strongest-N selection (most pruned
+                   candidates would fail the contrast/edge filters anyway),
+                   not silent loss; reported so benches can log coverage.
     """
 
     x: jnp.ndarray
@@ -53,6 +61,7 @@ class Keypoints:
     valid: jnp.ndarray
     desc: Optional[jnp.ndarray] = None
     n_dropped: Optional[jnp.ndarray] = None
+    n_cand_pruned: Optional[jnp.ndarray] = None
 
     @property
     def capacity(self) -> int:

@@ -47,6 +47,8 @@ def test_batched_equals_vmapped(hw):
     assert np.abs(np.where(m[..., None], dd, 0)).max() < 1e-3
     np.testing.assert_array_equal(np.asarray(ref.n_dropped),
                                   np.asarray(new.n_dropped))
+    np.testing.assert_array_equal(np.asarray(ref.n_cand_pruned),
+                                  np.asarray(new.n_cand_pruned))
 
 
 def test_extract_batch_routes_modes():
