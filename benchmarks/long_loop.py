@@ -119,14 +119,17 @@ def main():
     results = pipe.process_sequence(frames, batch=8 if SMALL else 16)
     elapsed = time.perf_counter() - t0
 
+    gt = np.stack([[t, 0.0, 0.0] for t in txs])
+    tracked = np.asarray([bool(r["tracked"]) for r in results])
+    ate_online = float(ate_rmse(pipe.positions()[tracked], gt[tracked],
+                                align=True, with_scale=True))
+
     # Final global refinement over the whole map.
     try:
         gstats = pipe.run_global_ba()
     except Exception as e:                      # capacity overflow etc.
         gstats = dict(error=str(e))
 
-    gt = np.stack([[t, 0.0, 0.0] for t in txs])
-    tracked = np.asarray([bool(r["tracked"]) for r in results])
     est = pipe.positions()
     ate = float(ate_rmse(est[tracked], gt[tracked], align=True,
                          with_scale=True))
@@ -149,6 +152,7 @@ def main():
         metric="long_loop_ate_m", value=round(ate, 4), unit="m",
         detail=(f"{len(frames)} frames x{CYCLES} cycles over "
                 f"{STEP * N_OUT:.1f} m, "
+                f"ate_online={ate_online:.4f}, "
                 f"tracked={float(tracked.mean()):.2f}, "
                 f"keyframes={len(pipe.keyframes)}, "
                 f"landmarks={len(pipe.landmarks)}, "
